@@ -1,0 +1,203 @@
+"""Trigram tokenization pipeline (reference operators S1-S5).
+
+Re-creates the observable semantics of mezis/blurrily's normalization and
+trigram tokenizer as Spark SQL *expressions* (JVM-side, whole-stage codegen)
+with a vectorized Arrow/pandas UDF only for the Unicode NFKD fold that SQL
+cannot express.
+
+Reference semantics (cited into /root/reference):
+
+* S1 normalize  -- ``lib/blurrily/map.rb:40-47``: downcase; unless the result
+  already matches ``/^([a-z ])+$/``: NFKD-decompose, strip non-ASCII bytes,
+  replace every non-``[a-z]`` char with a space; always collapse whitespace
+  runs to one space and strip both ends.
+* S2 pad        -- ``ext/blurrily/tokeniser.c:65-70``: wrap as ``**<text>*``
+  and turn inner spaces into ``*``.
+* S3 window     -- ``ext/blurrily/tokeniser.c:72-75``: emit ``len(text)+1``
+  sliding 3-char windows (empty string => 1 window ``***``).
+* S4 encode     -- ``ext/blurrily/tokeniser.c:21-31``: base-28 positional
+  code ``c0 + 28*c1 + 784*c2`` with ``*``/non-letter => 0, a..z => 1..26.
+  Max code ``'zzz'`` = 21138, fits uint16.
+* S5 dedup      -- ``ext/blurrily/tokeniser.c:93-118``: unique trigram codes
+  (sortedness there is an implementation artifact; only set semantics are
+  observable).
+
+Design note (Spark-first): the whole pipeline is expressible with built-in
+functions (``lower``/``regexp_replace``/``translate``/``transform``/
+``sequence``/``array_distinct``), so at 100 TB the tokenizer runs entirely
+inside whole-stage codegen with zero Python in the hot path. The pandas UDF
+(`nfkd_fold`) is reached only by rows that contain non-ASCII bytes after
+lowering; an all-ASCII corpus never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+TRIGRAM_BASE = 28  # ext/blurrily/tokeniser.h:22 (alphabet {*, a..z} = 28 symbols)
+TRIGRAM_COUNT = TRIGRAM_BASE**3  # 21952 possible codes; ext/blurrily/storage.c:30
+
+_CLEAN_RE = "^[a-z ]+$"  # lib/blurrily/map.rb:41 (note: `+` => empty string is NOT clean)
+_ASCII_RE = "^[\\x00-\\x7F]*$"
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementation (golden model for tests + oracle gen).
+# ---------------------------------------------------------------------------
+
+def normalize_py(s: str | None) -> str | None:
+    """Python twin of S1 (lib/blurrily/map.rb:40-47)."""
+    if s is None:
+        return None
+    result = s.lower()
+    if not re.fullmatch(r"[a-z ]+", result):
+        decomposed = unicodedata.normalize("NFKD", result)
+        decomposed = "".join(ch for ch in decomposed if ord(ch) < 128)
+        result = re.sub(r"[^a-z]", " ", decomposed)
+    return re.sub(r"\s+", " ", result).strip()
+
+
+def trigrams_py(norm: str | None) -> list[int] | None:
+    """Python twin of S2-S5 (ext/blurrily/tokeniser.c:65-118).
+
+    Input must already be normalized. Returns the sorted unique trigram
+    codes; ``''`` yields ``[0]`` (the ``***`` trigram).
+    """
+    if norm is None:
+        return None
+    padded = "**" + norm.replace(" ", "*") + "*"
+    codes = set()
+    for k in range(len(norm) + 1):
+        code = 0
+        for i in range(3):
+            ch = padded[k + i]
+            if "a" <= ch <= "z":
+                code += (TRIGRAM_BASE**i) * (ord(ch) - 96)
+        codes.add(code)
+    return sorted(codes)
+
+
+def tokenize_py(s: str | None) -> list[int] | None:
+    """normalize + trigrams in one call (the reference's put/find prep)."""
+    return trigrams_py(normalize_py(s))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Arrow/pandas UDF for the NFKD fold (slow path only).
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(StringType())
+def nfkd_fold(s: pd.Series) -> pd.Series:
+    """NFKD-decompose, strip non-ASCII, non-[a-z] -> space.
+
+    Only invoked for rows whose lowered text contains non-ASCII bytes
+    (lib/blurrily/map.rb:42's multibyte branch). Arrow-batched; the per-row
+    body is unavoidable because unicodedata has no columnar form.
+    """
+
+    def fold(x: str | None) -> str | None:
+        if x is None:
+            return None
+        d = unicodedata.normalize("NFKD", x)
+        d = d.encode("ascii", "ignore").decode("ascii")
+        return re.sub(r"[^a-z]", " ", d)
+
+    return s.map(fold)
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def trigrams_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched tokenizer (S2-S5) over *normalized* text.
+
+    Provided for API parity with the north-star's "vectorized Arrow UDF"
+    phrasing and as a fallback; the production path is :func:`trigrams`,
+    which compiles to pure JVM expressions.
+    """
+    return s.map(trigrams_py)
+
+
+# ---------------------------------------------------------------------------
+# Spark SQL expression pipeline (the production path).
+# ---------------------------------------------------------------------------
+
+def normalize(col: Column | str) -> Column:
+    """S1 as a Column expression.
+
+    Three-way branch mirroring lib/blurrily/map.rb:40-47:
+      1. already ``^[a-z ]+$`` after lower  -> unchanged (clean path);
+      2. ASCII-only                         -> SQL ``[^a-z] -> ' '`` (NFKD is
+         the identity on ASCII, so the multibyte branch degenerates to a
+         regexp_replace that codegen handles);
+      3. otherwise                          -> :func:`nfkd_fold` pandas UDF.
+    Whitespace collapse + trim always apply (map.rb:46).
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    base = (
+        F.when(c.rlike(_CLEAN_RE), c)
+        .when(c.rlike(_ASCII_RE), F.regexp_replace(c, "[^a-z]", " "))
+        .otherwise(nfkd_fold(c))
+    )
+    return F.trim(F.regexp_replace(base, "\\s+", " "))
+
+
+def _enc(ch: Column) -> Column:
+    """S4 single-char code: a..z -> 1..26, anything else -> 0."""
+    a = F.ascii(ch)
+    return F.when((a >= 97) & (a <= 122), a - 96).otherwise(F.lit(0))
+
+
+def padded(norm: Column | str) -> Column:
+    """S2: ``**<text>*`` with spaces -> ``*`` (tokeniser.c:65-70)."""
+    c = F.col(norm) if isinstance(norm, str) else norm
+    return F.concat(F.lit("**"), F.translate(c, " ", "*"), F.lit("*"))
+
+
+def trigrams(norm: Column | str) -> Column:
+    """S2-S5 as one Column expression over *normalized* text.
+
+    ``array_distinct(transform(sequence(0, len), k -> code(window_k)))`` --
+    len+1 windows (tokeniser.c:72-75), base-28 encode (tokeniser.c:21-31),
+    set-dedup (tokeniser.c:93-118). Entirely whole-stage-codegen'd.
+    """
+    c = F.col(norm) if isinstance(norm, str) else norm
+    p = padded(c)
+    one = F.lit(1)
+
+    def code(k: Column) -> Column:
+        c0 = _enc(p.substr(k + one, one))
+        c1 = _enc(p.substr(k + F.lit(2), one))
+        c2 = _enc(p.substr(k + F.lit(3), one))
+        return (c0 + c1 * TRIGRAM_BASE + c2 * TRIGRAM_BASE * TRIGRAM_BASE).cast("int")
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(0), F.length(c)), code))
+
+
+def with_trigrams(df, text_col: str, out_col: str = "trigrams", norm_col: str | None = None):
+    """normalize + trigrams over a DataFrame: raw text -> array<int> column.
+
+    Two projections by construction: Spark forbids Python UDFs (the NFKD
+    branch of :func:`normalize`) inside higher-order-function lambdas, so
+    the normalized text must be materialized as its own column before
+    :func:`trigrams` references it.
+    """
+    tmp = norm_col or "__norm"
+    out = df.withColumn(tmp, normalize(F.col(text_col)))
+    out = out.withColumn(out_col, trigrams(F.col(tmp)))
+    if norm_col is None:
+        out = out.drop(tmp)
+    return out
+
+
+def trigram_to_string(code: int) -> str:
+    """Decode a trigram code back to its 3-char form (tokeniser.c:35-46)."""
+    out = []
+    for k in range(3):
+        elem = code // (TRIGRAM_BASE**k) % TRIGRAM_BASE
+        out.append("*" if elem == 0 else chr(ord("a") + elem - 1))
+    return "".join(out)

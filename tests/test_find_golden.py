@@ -1,0 +1,187 @@
+"""Golden find/put/delete rankings from the reference spec suite.
+
+Each case re-expresses a reference spec (FIXTURES.md §4) as a labeled
+expectation over the Spark pipeline: build postings from put rows
+(arrival-ordered), run find, assert exact (ref, matches, weight) triples
+and rank order.
+"""
+
+from __future__ import annotations
+
+from conftest import put_rows
+
+from blurrily_spark.operators.find import find, find_one
+from blurrily_spark.operators.index import (
+    append_postings,
+    build_postings,
+    delete_refs,
+    stats,
+)
+
+
+def _postings(spark, rows):
+    return build_postings(put_rows(spark, rows), order_col="seq")
+
+
+def _triples(df):
+    return [(r["ref"], r["matches"], r["weight"]) for r in df.collect()]
+
+
+def test_perfect_match(spark):
+    # spec/blurrily/map_spec.rb:158-161: find('london') -> [123, 7, 6]
+    p = _postings(spark, [("london", 123)])
+    assert _triples(find_one(p, "london")) == [(123, 7, 6)]
+
+
+def test_single_find_paris(spark):
+    # spec/integration_spec.rb:31-35: [[123, 6, 5]]
+    p = _postings(spark, [("paris", 123)])
+    assert _triples(find_one(p, "paris")) == [(123, 6, 5)]
+
+
+def test_typo_insert_pariis(spark):
+    # spec/integration_spec.rb:34: find('pariis') -> [[123, 5, 5]]
+    p = _postings(spark, [("paris", 123)])
+    assert _triples(find_one(p, "pariis")) == [(123, 5, 5)]
+
+
+def test_typo_tolerance(spark):
+    # spec/blurrily/map_spec.rb:176-193: insert/delete/swap all still found
+    p = _postings(spark, [("london", 123)])
+    for needle in ["lonXdon", "lodon", "lodnon"]:
+        refs = [t[0] for t in _triples(find_one(p, needle))]
+        assert refs == [123], needle
+
+
+def test_exact_over_prefix(spark):
+    # spec/blurrily/map_spec.rb:163-168: exact match ranks first
+    p = _postings(
+        spark, [("lon", 125), ("london city airport", 124), ("london", 123)]
+    )
+    triples = _triples(find_one(p, "london"))
+    assert triples[0][0] == 123
+
+
+def test_matchiness_ordering_york(spark):
+    # spec/blurrily/map_spec.rb:195-202: [1003, 1001, 1002, 1004]
+    p = _postings(
+        spark,
+        [
+            ("New York", 1001),
+            ("Yorkshire", 1002),
+            ("York", 1003),
+            ("Yorkisthan", 1004),
+        ],
+    )
+    triples = _triples(find_one(p, "York"))
+    assert [t[0] for t in triples] == [1003, 1001, 1002, 1004]
+    assert [t[1] for t in triples] == [5, 4, 4, 4]  # matches
+    assert [t[2] for t in triples] == [4, 8, 9, 10]  # weights ascending among ties
+
+
+def test_weight_ascending_tiebreak(spark):
+    # spec/blurrily/map_spec.rb:204-209: same text, explicit weights -> light first
+    p = _postings(spark, [("london", 103, 103), ("london", 101, 101), ("london", 102, 102)])
+    triples = _triples(find_one(p, "london"))
+    assert [t[0] for t in triples] == [101, 102, 103]
+
+
+def test_prefix_multi_token_great(spark):
+    # spec/blurrily/command_processor_spec.rb:15-19:
+    # find('great') -> [12, 6, 12], [13, 5, 16]
+    p = _postings(spark, [("great london", 12), ("greater masovian", 13)])
+    assert _triples(find_one(p, "great")) == [(12, 6, 12), (13, 5, 16)]
+
+
+def test_not_found_empty_haystack(spark):
+    # spec/blurrily/command_processor_spec.rb:21-23
+    p = _postings(spark, [("something", 1)])
+    empty = delete_refs(p, [1])
+    assert find_one(empty, "great london").count() == 0
+
+
+def test_limit(spark):
+    # spec/blurrily/map_spec.rb:136-142: limit=2 -> exactly 2 rows
+    p = _postings(spark, [("london", r) for r in range(5)])
+    assert find_one(p, "london", limit=2).count() == 2
+
+
+def test_limit_default_10(spark):
+    p = _postings(spark, [("london", r) for r in range(15)])
+    assert find_one(p, "london").count() == 10
+    # limit <= 0 falls back to default (ext/blurrily/map_ext.c:142-146)
+    assert find_one(p, "london", limit=0).count() == 10
+
+
+def test_dup_ref_noop(spark):
+    # spec/blurrily/map_spec.rb:61-67: second put with same ref is ignored
+    p = _postings(spark, [("london", 123), ("paris", 123)])
+    assert find_one(p, "paris").count() == 0
+    assert [t[0] for t in _triples(find_one(p, "london"))] == [123]
+
+
+def test_dup_ref_noop_incremental(spark):
+    # same semantics across an incremental append (W2 anti-join)
+    base = _postings(spark, [("london", 123)])
+    appended = append_postings(base, put_rows(spark, [("paris", 123), ("rome", 7)]))
+    assert find_one(appended, "paris").count() == 0
+    assert [t[0] for t in _triples(find_one(appended, "rome"))] == [7]
+
+
+def test_multi_ref_order(spark):
+    # spec/integration_spec.rb:37-42: refs [123, 456] for both paris and pariis
+    p = _postings(spark, [("paris", 123), ("paris", 456)])
+    for needle in ["paris", "pariis"]:
+        assert [t[0] for t in _triples(find_one(p, needle))] == [123, 456], needle
+
+
+def test_delete(spark):
+    # spec/integration_spec.rb:44-49
+    p = _postings(spark, [("paris", 123), ("paris", 456)])
+    p2 = delete_refs(p, [456])
+    assert [t[0] for t in _triples(find_one(p2, "paris"))] == [123]
+
+
+def test_readd_after_delete(spark):
+    # spec/blurrily/map_spec.rb:109-114: delete then re-put same ref works
+    p = _postings(spark, [("london", 1337)])
+    p = delete_refs(p, [1337])
+    p = append_postings(p, put_rows(spark, [("paris", 1337)]))
+    assert [t[0] for t in _triples(find_one(p, "paris"))] == [1337]
+
+
+def test_stats(spark):
+    # foobar -> 7 unique trigrams; stats counts references + posting rows
+    p = _postings(spark, [("foobar", 1), ("paris", 2)])
+    row = stats(p).collect()[0]
+    assert row["references"] == 2
+    assert row["trigrams"] == 7 + 6
+
+
+def test_batch_find_multiple_queries(spark):
+    p = _postings(spark, [("london", 1), ("paris", 2)])
+    q = spark.createDataFrame(
+        [(10, "london"), (20, "paris"), (30, "zzz")],
+        "query_id long, needle string",
+    )
+    res = find(p, q).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["ref"], r["matches"], r["weight"]))
+    assert by_q[10] == [(1, 7, 6)]
+    assert by_q[20] == [(2, 6, 5)]
+    assert 30 not in by_q
+
+
+def test_per_query_limit_col(spark):
+    p = _postings(spark, [("london", r) for r in range(5)])
+    q = spark.createDataFrame(
+        [(1, "london", 2), (2, "london", 0)],
+        "query_id long, needle string, lim int",
+    )
+    res = find(p, q, limit_col="lim")
+    counts = {r["query_id"]: r["n"] for r in res.groupBy("query_id").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts[1] == 2
+    assert counts[2] == 5  # limit 0 -> default 10, capped by 5 stored refs
