@@ -1,0 +1,122 @@
+"""Transitive clustering: connected components over the match graph.
+
+The reference stops at ranked candidates (``find``); entity resolution needs
+the transitive closure of above-threshold matches (SURVEY.md §2.6). This is
+the alternating **large-star / small-star** algorithm of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (ACM SoCC 2014), expressed as
+an iterative DataFrame loop:
+
+* large-star(u): for every neighbor v > u, emit (v, m) where
+  m = min(Γ(u) ∪ {u});
+* small-star(u): orient edges so u >= v; emit (v, m) for every
+  v in Γ_small(u) ∪ {u} except m itself.
+
+Both rounds are a groupBy-min plus a re-join -- no ``collect_list`` (a hot
+node's neighborhood never has to fit in one row), so the loop survives
+power-law degree distributions. Converges in O(log^2 n) rounds; each
+iteration is localCheckpoint'ed to cut lineage (at cluster scale: a staged
+table write per iteration, which also gives checkpoint-resume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient (big, small), drop self-loops, dedup."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select("src", F.least("_mn", "src").alias("_m"))
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = _canonical(edges)
+    mins = e.groupBy("src").agg(F.min("dst").alias("_m"))
+    relinked = (
+        e.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .union(mins.select("src", F.col("_m").alias("dst")))
+    )
+    return relinked.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive and overflow-free (ANSI mode is on in Spark 4)
+    row = edges.select(F.xxhash64("src", "dst").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with its component min.
+
+    Returns ``(ref long, entity_id long)`` -- one row per distinct node,
+    ``entity_id`` = smallest ref in the component (deterministic labels).
+    Nodes absent from ``edges`` (singletons) are the caller's to add; see
+    :func:`assign_entities`.
+    """
+    e = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        )
+    ).localCheckpoint()
+
+    prev_fp = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+
+    # Converged state: every edge is (node, component-min). Roots appear only
+    # on the dst side; give each a self-label.
+    labels = e.select(F.col("src").alias("ref"), F.col("dst").alias("entity_id")).union(
+        e.select(F.col("dst").alias("ref"), F.col("dst").alias("entity_id"))
+    )
+    return labels.groupBy("ref").agg(F.min("entity_id").alias("entity_id"))
+
+
+def assign_entities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "ref",
+    **cc_kwargs,
+) -> DataFrame:
+    """Entity id for *every* node: component min, or self for singletons."""
+    comp = connected_components(edges, **cc_kwargs)
+    n = nodes.select(F.col(node_col).cast("long").alias("ref")).distinct()
+    return n.join(comp, "ref", "left").select(
+        "ref", F.coalesce("entity_id", "ref").alias("entity_id")
+    )

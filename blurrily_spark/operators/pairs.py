@@ -1,0 +1,119 @@
+"""Batch blocking: candidate-pair generation by trigram self-join.
+
+The reference has no batch pair operator -- its only join-shaped op is FIND's
+gather (needle ⋈ postings, ext/blurrily/storage.c:497-520). Generating all
+candidate pairs is the batch generalization: semantically identical to
+running ``find`` once per stored needle, i.e. a *self-join of postings on
+trigram* (SURVEY.md §2.6). ``matches(a, b) = |T(a) ∩ T(b)|`` exactly as in
+F4 (storage.c:527-563), because both sides are trigram-deduped.
+
+Scale design (the part the single-node reference never had to solve):
+
+* **Bounded key space.** There are at most 28^3 = 21952 trigram codes
+  (ext/blurrily/storage.c:30), so per-trigram document frequencies always
+  fit on the driver / in a broadcast -- heavy-key decisions are cheap.
+* **Skew.** Trigram DF is Zipf-like; a trigram with df=d contributes
+  d*(d-1)/2 pairs. Three levers, composable:
+  - ``max_df``: drop trigrams with df > max_df from *blocking* (the
+    pg_trgm-style cost guard; off by default because the reference has no
+    cap and capping changes ``matches`` counts).
+  - AQE skew-join (enabled in get_spark): splits oversized partitions at
+    runtime.
+  - ``salt_buckets``: explicit salted self-join -- the left side is split
+    into B salt buckets by ref hash, the right side replicated B times, so
+    one hot trigram's pair work spreads over B tasks.
+* **Half-matrix.** ``ref_a < ref_b`` keeps each unordered pair once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def trigram_df_counts(postings: DataFrame) -> DataFrame:
+    """Per-trigram document frequency. At most 21952 rows -- always tiny."""
+    return postings.groupBy("trigram").agg(F.count(F.lit(1)).alias("df"))
+
+
+def candidate_pairs(
+    postings: DataFrame,
+    min_matches: int = 1,
+    max_df: int | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """All candidate pairs sharing >= min_matches trigrams.
+
+    Returns ``(ref_a, ref_b, matches, weight_a, weight_b)`` with
+    ``ref_a < ref_b``. ``matches`` is the shared-unique-trigram count --
+    identical to what FIND would report for either record queried against
+    the other (modulo the query side's own tokenization, which for stored
+    records is the same tokenizer).
+    """
+    p = postings.select("trigram", "ref", "weight")
+    if max_df is not None:
+        keep = trigram_df_counts(p).where(F.col("df") <= max_df).select("trigram")
+        # keep is bounded by the 28^3 key space -> broadcast, never a shuffle
+        p = p.join(F.broadcast(keep), "trigram")
+
+    left = p.select(
+        "trigram",
+        F.col("ref").alias("ref_a"),
+        F.col("weight").alias("weight_a"),
+    )
+    right = p.select(
+        "trigram",
+        F.col("ref").alias("ref_b"),
+        F.col("weight").alias("weight_b"),
+    )
+
+    if salt_buckets and salt_buckets > 1:
+        b = int(salt_buckets)
+        left = left.withColumn("salt", F.pmod(F.xxhash64("ref_a"), F.lit(b)))
+        right = right.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(b - 1).cast("long")))
+        )
+        join_keys = ["trigram", "salt"]
+    else:
+        join_keys = ["trigram"]
+
+    joined = left.join(right, join_keys).where(F.col("ref_a") < F.col("ref_b"))
+
+    pairs = joined.groupBy("ref_a", "ref_b").agg(
+        F.count(F.lit(1)).alias("matches"),
+        F.min("weight_a").alias("weight_a"),
+        F.min("weight_b").alias("weight_b"),
+    )
+    if min_matches > 1:
+        pairs = pairs.where(F.col("matches") >= min_matches)
+    return pairs
+
+
+def ref_trigram_counts(postings: DataFrame) -> DataFrame:
+    """Unique-trigram count per stored record (|T(ref)|)."""
+    return postings.groupBy("ref").agg(F.count(F.lit(1)).alias("n_trigrams"))
+
+
+def with_jaccard(pairs: DataFrame, postings: DataFrame) -> DataFrame:
+    """Attach trigram-set Jaccard: matches / (|T(a)| + |T(b)| - matches).
+
+    Two shuffle joins against the per-ref trigram counts; at scale both
+    sides are pre-partitioned by ref, and the counts table is ~1 row per
+    record (broadcastable for dimension-sized corpora).
+    """
+    counts = ref_trigram_counts(postings)
+    return (
+        pairs.join(counts.withColumnRenamed("ref", "ref_a"), "ref_a")
+        .withColumnRenamed("n_trigrams", "tg_a")
+        .join(
+            counts.withColumnRenamed("ref", "ref_b").withColumnRenamed(
+                "n_trigrams", "tg_b"
+            ),
+            "ref_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("matches")
+            / (F.col("tg_a") + F.col("tg_b") - F.col("matches")).cast("double"),
+        )
+    )

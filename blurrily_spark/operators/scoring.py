@@ -1,0 +1,137 @@
+"""Pairwise scoring: blurrily's (matches, weight) order + Jaro-Winkler tie-break.
+
+The reference ranks on (matches DESC, weight ASC) and leaves full ties in
+*unspecified* order (unstable qsort, ext/blurrily/storage.c:566). Per the
+north star, this module adds a Jaro-Winkler similarity computed in batched
+Arrow/pandas UDFs **strictly below** the (matches, weight) order -- it can
+reorder only rows the reference itself leaves unordered, so reference
+rankings are preserved by construction.
+
+Pair score components:
+* ``matches``      -- shared unique trigram count (F4 semantics);
+* ``jaccard``      -- matches / |T(a) ∪ T(b)| (size-normalized matchiness);
+* ``weight_delta`` -- |weight_a - weight_b| (the length-difference weighting);
+* ``jw``           -- Jaro-Winkler over the normalized texts (tie-break only).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def _jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ch in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ch:
+                match_a[i] = True
+                match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions / 2
+    m = float(matches)
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler_py(a: str | None, b: str | None, p: float = 0.1, max_prefix: int = 4) -> float | None:
+    """Plain-Python Jaro-Winkler (golden model + UDF kernel)."""
+    if a is None or b is None:
+        return None
+    j = _jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler over two string columns."""
+    return pd.Series(
+        [jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    compute_jw: bool = True,
+) -> DataFrame:
+    """Attach score components to candidate pairs.
+
+    ``records`` is ``(ref, norm)`` (+ optionally ``n_trigrams``) -- the
+    normalized-text side table kept alongside the postings (the reference
+    never stores strings, README.md:125-127, so text-based tie-breaking is
+    an extension that needs this side table).
+
+    Returns pairs + ``weight_delta`` (+ ``jw`` when requested). Ordering
+    convention for consumers: (matches DESC, weight_delta ASC, jw DESC,
+    ref_a ASC, ref_b ASC).
+    """
+    out = pairs.withColumn(
+        "weight_delta", F.abs(F.col("weight_a") - F.col("weight_b"))
+    )
+    if compute_jw:
+        texts = records.select(F.col("ref"), F.col("norm"))
+        out = (
+            out.join(
+                texts.withColumnRenamed("ref", "ref_a").withColumnRenamed(
+                    "norm", "_norm_a"
+                ),
+                "ref_a",
+            )
+            .join(
+                texts.withColumnRenamed("ref", "ref_b").withColumnRenamed(
+                    "norm", "_norm_b"
+                ),
+                "ref_b",
+            )
+            .withColumn("jw", jaro_winkler("_norm_a", "_norm_b"))
+            .drop("_norm_a", "_norm_b")
+        )
+    return out
+
+
+def match_edges(
+    scored_pairs: DataFrame,
+    jaccard_threshold: float | None = None,
+    min_matches: int | None = None,
+    jw_threshold: float | None = None,
+) -> DataFrame:
+    """Thresholded match decisions -> edge list for clustering."""
+    out = scored_pairs
+    if jaccard_threshold is not None:
+        out = out.where(F.col("jaccard") >= jaccard_threshold)
+    if min_matches is not None:
+        out = out.where(F.col("matches") >= min_matches)
+    if jw_threshold is not None:
+        out = out.where(F.col("jw") >= jw_threshold)
+    return out.select(F.col("ref_a").alias("src"), F.col("ref_b").alias("dst"))

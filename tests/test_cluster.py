@@ -1,0 +1,69 @@
+"""Connected components vs a pure-Python union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from blurrily_spark.operators.cluster import assign_entities, connected_components
+
+
+def union_find_components(edges: list[tuple[int, int]], nodes: set[int]) -> dict[int, int]:
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = component min
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for root, members in comp.items() for n in members}
+
+
+def _check(spark, edges, nodes=None):
+    nodes = nodes or {n for e in edges for n in e}
+    expected = union_find_components(edges, nodes)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(n,) for n in sorted(nodes)], "ref long")
+    got = {r["ref"]: r["entity_id"] for r in assign_entities(ndf, edf).collect()}
+    assert got == expected
+
+
+def test_simple_chain(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 4)])
+
+
+def test_two_components(spark):
+    _check(spark, [(1, 2), (5, 6), (6, 7), (2, 1)])
+
+
+def test_star_and_cycle(spark):
+    _check(spark, [(10, 1), (10, 2), (10, 3), (20, 21), (21, 22), (22, 20)])
+
+
+def test_self_loops_ignored(spark):
+    _check(spark, [(1, 1), (1, 2), (3, 3)], nodes={1, 2, 3})
+
+
+def test_random_graphs(spark):
+    rng = random.Random(7)
+    nodes = list(range(100))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(120)
+    ]
+    _check(spark, edges, nodes=set(n for e in edges for n in e))
+
+
+def test_assign_entities_includes_singletons(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "ref long")
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    got = {r["ref"]: r["entity_id"] for r in assign_entities(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 5}

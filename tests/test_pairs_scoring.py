@@ -1,0 +1,101 @@
+"""Pair generation semantics + scoring (matches counts, jaccard, JW tie-break)."""
+
+from __future__ import annotations
+
+import itertools
+
+from conftest import put_rows
+
+from blurrily_spark.functions.tokenizer import normalize_py, tokenize_py
+from blurrily_spark.operators.index import build_postings, prepare_needles
+from blurrily_spark.operators.pairs import candidate_pairs, with_jaccard
+from blurrily_spark.operators.scoring import jaro_winkler_py, score_pairs
+
+HAYSTACK = [
+    ("london", 1),
+    ("londom", 2),
+    ("paris", 3),
+    ("pariis", 4),
+    ("New York", 5),
+    ("york", 6),
+    ("completely different", 7),
+]
+
+
+def expected_pairs(rows, min_matches=1):
+    tg = {ref: set(tokenize_py(text)) for text, ref in rows}
+    out = {}
+    for (ra, ta), (rb, tb) in itertools.combinations(sorted(tg.items()), 2):
+        m = len(ta & tb)
+        if m >= min_matches:
+            out[(ra, rb)] = (m, len(ta), len(tb))
+    return out
+
+
+def _spark_pairs(spark, **kwargs):
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    return candidate_pairs(postings, **kwargs), postings
+
+
+def test_pair_matches_equal_python_model(spark):
+    pairs, _ = _spark_pairs(spark)
+    got = {(r["ref_a"], r["ref_b"]): r["matches"] for r in pairs.collect()}
+    exp = {k: v[0] for k, v in expected_pairs(HAYSTACK).items()}
+    assert got == exp
+
+
+def test_pair_matches_salted_identical(spark):
+    # salting must not change results, only task layout
+    plain, _ = _spark_pairs(spark)
+    salted, _ = _spark_pairs(spark, salt_buckets=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_min_matches_filter(spark):
+    pairs, _ = _spark_pairs(spark, min_matches=4)
+    exp = {k for k, v in expected_pairs(HAYSTACK, min_matches=4).items()}
+    got = {(r["ref_a"], r["ref_b"]) for r in pairs.collect()}
+    assert got == exp
+
+
+def test_max_df_drops_hot_trigrams(spark):
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    capped = candidate_pairs(postings, max_df=2)
+    # every pair's matches must be <= uncapped matches
+    plain = {(r["ref_a"], r["ref_b"]): r["matches"] for r in candidate_pairs(postings).collect()}
+    for r in capped.collect():
+        assert r["matches"] <= plain[(r["ref_a"], r["ref_b"])]
+
+
+def test_jaccard(spark):
+    pairs, postings = _spark_pairs(spark)
+    got = {
+        (r["ref_a"], r["ref_b"]): (r["matches"], r["tg_a"], r["tg_b"], r["jaccard"])
+        for r in with_jaccard(pairs, postings).collect()
+    }
+    for (ra, rb), (m, ta, tb) in expected_pairs(HAYSTACK).items():
+        gm, gta, gtb, gj = got[(ra, rb)]
+        assert (gm, gta, gtb) == (m, ta, tb)
+        assert abs(gj - m / (ta + tb - m)) < 1e-12
+
+
+def test_jaro_winkler_known_values():
+    assert jaro_winkler_py("martha", "marhta") > 0.95
+    assert jaro_winkler_py("london", "london") == 1.0
+    assert jaro_winkler_py("abc", "xyz") == 0.0
+    assert jaro_winkler_py("", "abc") == 0.0
+    # winkler prefix boost: shared prefix scores higher
+    assert jaro_winkler_py("london", "londom") > jaro_winkler_py("london", "mondon")
+
+
+def test_score_pairs_jw_matches_python(spark):
+    haystack_df = put_rows(spark, HAYSTACK)
+    postings = build_postings(haystack_df, order_col="seq")
+    records = prepare_needles(haystack_df, order_col="seq").select("ref", "norm")
+    pairs = with_jaccard(candidate_pairs(postings), postings)
+    scored = score_pairs(pairs, records, compute_jw=True).collect()
+    norm = {ref: normalize_py(text) for text, ref in HAYSTACK}
+    for r in scored:
+        exp = jaro_winkler_py(norm[r["ref_a"]], norm[r["ref_b"]])
+        assert abs(r["jw"] - exp) < 1e-12
+        assert r["weight_delta"] == abs(len(norm[r["ref_a"]]) - len(norm[r["ref_b"]]))

@@ -1,0 +1,97 @@
+"""End-to-end pipeline: synthetic transcripts -> entities; F1 gate vs truth.
+
+Also pins the north rule's invariants: per-turn text equality under stable
+(conv_id, turn_idx) ordering, pairwise F1 >= 0.99 on the labeled spec
+corpus, and checkpoint-resume (stage skip on re-run).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from blurrily_spark.plans.pipeline import LinkagePipeline, build_turns
+from blurrily_spark.sources.synth import generate_transcripts
+
+
+def pairwise_f1(pred: dict[int, int], truth: dict[int, int]) -> float:
+    refs = sorted(truth)
+    tp = fp = fn = 0
+    for a, b in itertools.combinations(refs, 2):
+        same_true = truth[a] == truth[b]
+        same_pred = pred.get(a) == pred.get(b) and pred.get(a) is not None
+        if same_pred and same_true:
+            tp += 1
+        elif same_pred:
+            fp += 1
+        elif same_true:
+            fn += 1
+    if tp == 0:
+        return 0.0
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    return 2 * precision * recall / (precision + recall)
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    transcripts = generate_transcripts(
+        spark, n_entities=12, variants_per_entity=3, turns_per_conv=3,
+        words_per_turn=8, n_perturbations=1, seed=11, with_truth=True,
+    )
+    transcripts.cache()
+
+    pipe = LinkagePipeline(
+        spark, str(tmp_path), jaccard_threshold=0.55, min_matches=2
+    )
+    entities = pipe.run(transcripts.drop("entity_true"))
+
+    # --- conversation-level clustering quality (same-entity turns share
+    # templates; turn texts of the same turn_idx across variants are near-dups)
+    truth_rows = transcripts.select(
+        F.xxhash64("conv_id", "turn_idx").alias("ref"),
+        "entity_true",
+        "turn_idx",
+    ).collect()
+    truth = {(r["ref"]): (r["entity_true"], r["turn_idx"]) for r in truth_rows}
+    pred = {r["ref"]: r["entity_id"] for r in entities.collect()}
+
+    f1 = pairwise_f1(pred, truth)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} < 0.99"
+
+    # --- per-turn text equality under stable (conv_id, turn_idx) ordering
+    turns = build_turns(transcripts.drop("entity_true"))
+    orig = transcripts.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    kept = turns.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in orig] == [tuple(r) for r in kept]
+
+    # --- manifest written with per-stage metrics
+    manifest = json.load(open(os.path.join(str(tmp_path), "_manifest.json")))
+    assert set(manifest["stages"]) == set(LinkagePipeline.STAGES)
+    assert all(not s["skipped"] for s in manifest["stages"].values())
+
+
+def test_pipeline_resume_skips_stages(spark, tmp_path):
+    transcripts = generate_transcripts(
+        spark, n_entities=5, variants_per_entity=2, turns_per_conv=2, seed=3
+    )
+    pipe1 = LinkagePipeline(spark, str(tmp_path), jaccard_threshold=0.5)
+    out1 = pipe1.run(transcripts).orderBy("ref").collect()
+
+    pipe2 = LinkagePipeline(spark, str(tmp_path), jaccard_threshold=0.5)
+    out2 = pipe2.run(transcripts).orderBy("ref").collect()
+    assert all(s["skipped"] for s in pipe2.metrics.values())
+    assert out1 == out2
+
+    # changed config -> fingerprint mismatch -> stages rerun
+    pipe3 = LinkagePipeline(spark, str(tmp_path), jaccard_threshold=0.9)
+    pipe3.run(transcripts)
+    assert not pipe3.metrics["edges"]["skipped"]
+
+
+def test_synth_determinism(spark):
+    a = generate_transcripts(spark, n_entities=4, seed=9).collect()
+    b = generate_transcripts(spark, n_entities=4, seed=9).collect()
+    assert a == b
