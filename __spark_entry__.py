@@ -1,38 +1,416 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship FIND pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data extensions); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible query. Column names and types are aligned on
+both sides (the driver hash-compares after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blurrily_spark.functions import oracle
+from blurrily_spark.functions.tokenizer import normalize, trigrams
+from blurrily_spark.operators import dedup, similarity, textstats
+from blurrily_spark.operators.cluster import connected_components
+from blurrily_spark.operators.find import find
+from blurrily_spark.operators.index import build_postings, delete_refs, stats
+from blurrily_spark.operators.pairs import candidate_pairs, with_jaccard
+from blurrily_spark.operators.scoring import match_edges
+
+# Fixed query workload for FIND (typos over the documents vocabulary).
+NEEDLES = [
+    (1, "key agg row scan"),
+    (2, "custmer order lineitm"),
+    (3, "spark window batch streaming"),
+    (4, "hash join merge sort"),
+    (5, "valu table part"),
+]
+PAIR_SUBSET = 100  # doc_id < 100 for quadratic pair oracles
+CC_THRESHOLD = 0.6
+DUP_OFFSET = 1_000_000  # synthetic near-dup ids = doc_id + offset
+NGRAM_THRESHOLD = 0.5
+LANGS = sorted(textstats.STOPWORDS)  # de, en, fr
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).where(F.col("doc_id") < PAIR_SUBSET)
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc subset unioned with deterministic near-duplicates (each text
+    truncated to 90%), so dedup operators have true positives to find."""
+    base = _docs_subset(spark, sf_dir).select("doc_id", "text")
+    dups = base.select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.col("text")
+        .substr(F.lit(1), F.floor(F.length("text") * 0.9).cast("int"))
+        .alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def _postings(spark: SparkSession, sf_dir: str, subset: bool = False) -> DataFrame:
+    src = _docs_subset(spark, sf_dir) if subset else _docs(spark, sf_dir)
+    return build_postings(src, text_col="text", ref_col="doc_id", weight_col=None)
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(NEEDLES, "query_id long, needle string")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_normalize(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize(F.col("text")).alias("norm")
+    )
+
+
+def q_tokenize(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("_norm", normalize(F.col("text")))
+        .select("doc_id", F.explode(trigrams("_norm")).alias("trigram"))
+    )
+
+
+def q_index_build(spark, sf_dir):
+    return _postings(spark, sf_dir)
+
+
+def q_index_stats(spark, sf_dir):
+    return stats(_postings(spark, sf_dir))
+
+
+def q_index_delete(spark, sf_dir):
+    p = _postings(spark, sf_dir)
+    doomed = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("ref")
+    )
+    return stats(delete_refs(p, doomed))
+
+
+def q_find(spark, sf_dir):
+    return find(_postings(spark, sf_dir), _queries_df(spark), limit=10)
+
+
+def q_pairs(spark, sf_dir):
+    return candidate_pairs(_postings(spark, sf_dir, subset=True)).select(
+        "ref_a", "ref_b", "matches"
+    )
+
+
+def q_pairs_jaccard(spark, sf_dir):
+    p = _postings(spark, sf_dir, subset=True)
+    return with_jaccard(candidate_pairs(p), p).select(
+        "ref_a", "ref_b", "matches", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_match_edges(spark, sf_dir):
+    p = _postings(spark, sf_dir, subset=True)
+    scored = with_jaccard(candidate_pairs(p), p).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+    return match_edges(scored, jaccard_threshold=CC_THRESHOLD)
+
+
+def q_connected_components(spark, sf_dir):
+    return connected_components(q_match_edges(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.shingle_pairs_jaccard(
+        _docs_with_dups(spark, sf_dir), w=3, threshold=NGRAM_THRESHOLD
+    ).select("id_a", "id_b", "inter", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh(spark, sf_dir):  # rows-only (hash permutations not in DuckDB)
+    return dedup.minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), num_hashes=32, bands=8)
+
+
+def q_simhash(spark, sf_dir):  # rows-only
+    return dedup.simhash_near_dups(_docs_with_dups(spark, sf_dir), max_hamming=6)
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 8)
+    out = similarity.cosine_topk(corpus, q, k=5)
+    return out.select("query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank")
+
+
+def q_ann_ivf(spark, sf_dir):  # rows-only (approximate by construction)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 8)
+    cents = similarity.take_centroids(corpus, n=8)
+    out = similarity.ivf_topk(corpus, q, cents, k=5, nprobe=2)
+    return out.select("query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank")
+
+
+def q_events_window(spark, sf_dir):
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return events.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: batch fuzzy FIND over the sf0.001 documents corpus."""
+    return q_find(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "normalize_text": q_normalize,
+        "tokenize_trigrams": q_tokenize,
+        "index_build": q_index_build,
+        "index_stats": q_index_stats,
+        "index_delete": q_index_delete,
+        "find_ranked": q_find,
+        "blocking_pairs": q_pairs,
+        "pairs_jaccard": q_pairs_jaccard,
+        "match_edges": q_match_edges,
+        "connected_components": q_connected_components,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_near_dups": q_simhash,
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf,
+        "events_window_agg": q_events_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SUBSET_SQL = f"(SELECT * FROM documents WHERE doc_id < {PAIR_SUBSET})"
+
+_STOP = {k: ", ".join(f"'{w}'" for w in v) for k, v in textstats.STOPWORDS.items()}
+
+
+def _pairs_head(with_jacc: bool) -> str:
+    cols = "ref_a, ref_b, matches" + (", jaccard" if with_jacc else "")
+    return f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')}
+SELECT {cols} FROM pairs"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    docs = "documents"
+    norm = oracle.NORM.format(text="text")
+    out: dict[str, str] = {}
+
+    out["normalize_text"] = f"SELECT doc_id, {norm} AS norm FROM {docs}"
+
+    out["tokenize_trigrams"] = f"""WITH {oracle.norm_cte('hay', docs, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')}
+SELECT ref AS doc_id, trigram FROM hay_tg"""
+
+    out["index_build"] = oracle.postings_sql(docs, "doc_id", "text")
+
+    out["index_stats"] = f"""WITH {oracle.norm_cte('hay', docs, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')}
+SELECT count(DISTINCT ref) AS references, count(*) AS trigrams FROM hay_tg"""
+
+    out["index_delete"] = f"""WITH {oracle.norm_cte('hay', docs, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')}
+SELECT count(DISTINCT ref) AS references, count(*) AS trigrams
+FROM hay_tg WHERE ref % 10 <> 3"""
+
+    out["find_ranked"] = oracle.find_sql(docs, "doc_id", "text", NEEDLES, limit=10)
+
+    out["blocking_pairs"] = _pairs_head(with_jacc=False)
+    out["pairs_jaccard"] = _pairs_head(with_jacc=True)
+
+    out["match_edges"] = (
+        _pairs_head(with_jacc=True).replace(
+            "SELECT ref_a, ref_b, matches, jaccard FROM pairs",
+            f"SELECT ref_a AS src, ref_b AS dst FROM pairs WHERE jaccard >= {CC_THRESHOLD}",
+        )
+    )
+
+    out["connected_components"] = oracle.cc_sql(
+        _SUBSET_SQL, "doc_id", "text", CC_THRESHOLD
+    )
+
+    out["dedup_exact"] = f"""WITH {oracle.norm_cte('hay', docs, 'doc_id', 'text')}
+SELECT ref AS doc_id,
+       min(ref) OVER (PARTITION BY norm) AS canonical_id,
+       ref <> min(ref) OVER (PARTITION BY norm) AS is_dup
+FROM hay_norm"""
+
+    dup_corpus = f"""(SELECT doc_id, text FROM documents WHERE doc_id < {PAIR_SUBSET}
+ UNION ALL
+ SELECT doc_id + {DUP_OFFSET} AS doc_id,
+        substr(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
+ FROM documents WHERE doc_id < {PAIR_SUBSET})"""
+
+    out["ngram_jaccard_pairs"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+ws AS (SELECT ref, string_split(norm, ' ') AS w FROM hay_norm),
+sh AS (
+  SELECT DISTINCT ref, unnest(
+    CASE WHEN len(w) >= 3 THEN
+      list_distinct(list_transform(range(1, len(w) - 1),
+        i -> array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')))
+    ELSE [array_to_string(w, ' ')] END) AS s
+  FROM ws
+),
+counts AS (SELECT ref, count(*) AS n FROM sh GROUP BY ref),
+inter AS (
+  SELECT a.ref AS id_a, b.ref AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.ref < b.ref
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+FROM inter JOIN counts ca ON ca.ref = id_a JOIN counts cb ON cb.ref = id_b
+WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= {NGRAM_THRESHOLD}"""
+
+    out["token_count"] = """SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+FROM documents"""
+
+    out["quality_score"] = f"""WITH feats AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         w -> lower(w) IN ({_STOP['en']}))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END, 6) AS mean_word_len,
+  round((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 0.5
+      + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 0.3
+      + least(n_chars, 2000.0) / 2000.0 * 0.2, 6) AS quality
+FROM feats"""
+
+    lang_hits = ",\n    ".join(
+        f"CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"w -> w IN ({_STOP[c]}))) AS BIGINT) AS {c}"
+        for c in LANGS
+    )
+    gmax = "greatest(" + ", ".join(LANGS) + ")"
+    # tie rule mirrors Spark's array_max(struct(hits, lang)): max hits,
+    # then lexicographically greatest lang code.
+    by_code_desc = sorted(LANGS, reverse=True)
+    case_lang = " ".join(
+        f"WHEN {c} = {gmax} THEN '{c}'" for c in by_code_desc[:-1]
+    )
+    out["lang_id"] = f"""WITH hits AS (
+  SELECT doc_id,
+    {lang_hits}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN {gmax} = 0 THEN 'und' {case_lang} ELSE '{by_code_desc[-1]}' END AS lang,
+  {gmax} AS lang_hits
+FROM hits"""
+
+    out["doc_fingerprint"] = f"""WITH {oracle.norm_cte('hay', docs, 'doc_id', 'text')}
+SELECT ref AS doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(norm) + 1),
+        i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS fingerprint
+FROM hay_norm"""
+
+    fold_dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(c.embedding, q.qe), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b)"
+    )
+
+    def fold_sq(expr: str) -> str:
+        return (
+            "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            "), (a, b) -> a + b))"
+        )
+
+    out["cosine_topk"] = f"""WITH qv AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    {fold_dot} / ({fold_sq('c.embedding')} * {fold_sq('q.qe')}) AS raw_cos
+  FROM embeddings c, qv q WHERE c.vec_id >= 8
+),
+ranked AS (
+  SELECT query_id, vec_id, round(raw_cos, 5) AS cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY raw_cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
+
+    out["events_window_agg"] = """SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n,
+  round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    return out

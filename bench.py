@@ -1,0 +1,140 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Queries:
+  q_index_build    -- full postings build over documents (tokenize+explode)
+  q_find_batch     -- 5-needle fuzzy FIND against the full index
+  q_blocking_pairs -- candidate pairs + jaccard over the pair subset
+  q_connected_components -- thresholded edges -> entity labels
+  q_minhash_lsh    -- LSH near-dup pass over the dup-injected corpus
+  q_cosine_topk    -- brute-force embedding top-k
+  q_events_window  -- hourly windowed aggregation over events
+  q_linkage_pipeline -- full transcripts->entities linkage run on a seeded
+                        synthetic transcripts corpus sized to the SF
+                        (materialized once to /tmp and reused)
+
+The extra field ``pairs_per_sec`` reports the linkage pipeline's
+candidate-pairs-scored throughput (the north-rule metric); scaling runs at
+two parallelism levels live in scripts/bench_scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# transcripts corpus size scaled to SF (sf0.1 -> 40k turns)
+_SF_NAME = os.path.basename(SF_DIR.rstrip("/"))
+_SF = float(_SF_NAME.replace("sf", "") or 0.1)
+N_ENTITIES = max(20, int(20000 * _SF))
+TRANSCRIPT_SEED = 42
+
+
+def _transcripts_path() -> str:
+    key = f"{TRANSCRIPT_SEED}_{N_ENTITIES}"
+    return f"/tmp/blurrily_bench_transcripts_{key}.parquet"
+
+
+def _ensure_transcripts(spark) -> str:
+    path = _transcripts_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from blurrily_spark.sources.synth import generate_transcripts
+
+        df = generate_transcripts(
+            spark,
+            n_entities=N_ENTITIES,
+            variants_per_entity=4,
+            turns_per_conv=5,
+            words_per_turn=10,
+            n_perturbations=2,
+            seed=TRANSCRIPT_SEED,
+        )
+        df.repartition(int(CPUS) if CPUS.isdigit() else 32).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    from blurrily_spark import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark("blurrily-bench", master=f"local[{CPUS}]")
+    spark.range(1).count()  # JVM warmup outside timings
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("q_index_build", lambda: em.q_index_build(spark, SF_DIR).count())
+    timed("q_find_batch", lambda: em.q_find(spark, SF_DIR).count())
+    timed("q_blocking_pairs", lambda: em.q_pairs_jaccard(spark, SF_DIR).count())
+    timed(
+        "q_connected_components",
+        lambda: em.q_connected_components(spark, SF_DIR).count(),
+    )
+    timed("q_minhash_lsh", lambda: em.q_minhash_lsh(spark, SF_DIR).count())
+    timed("q_cosine_topk", lambda: em.q_cosine_topk(spark, SF_DIR).count())
+    timed("q_events_window", lambda: em.q_events_window(spark, SF_DIR).count())
+
+    # full linkage pipeline over synthetic transcripts
+    import shutil
+    import tempfile
+
+    from blurrily_spark.plans.pipeline import LinkagePipeline
+
+    tpath = _ensure_transcripts(spark)
+    transcripts = spark.read.parquet(tpath)
+    workdir = tempfile.mkdtemp(prefix="blurrily_bench_wd_")
+    try:
+        pipe = LinkagePipeline(
+            spark,
+            workdir,
+            jaccard_threshold=0.55,
+            min_matches=3,
+            max_df=64,  # two-phase blocking: capped generation + exact rescoring
+        )
+        t0 = time.time()
+        pipe.run(transcripts).count()
+        timings["q_linkage_pipeline"] = round(time.time() - t0, 3)
+        n_pairs = pipe.metrics.get("pairs", {}).get("rows") or 0
+        pair_secs = (
+            pipe.metrics["pairs"]["seconds"] + pipe.metrics["scores"]["seconds"]
+        )
+        if pair_secs > 0:
+            extras["pairs_per_sec"] = round(n_pairs / pair_secs, 1)
+        extras["n_candidate_pairs"] = n_pairs
+        extras["n_turns"] = transcripts.count()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _SF,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

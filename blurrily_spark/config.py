@@ -16,6 +16,28 @@ from pyspark.sql import SparkSession
 LIMIT_DEFAULT = 10      # lib/blurrily/defaults.rb:6
 LIMIT_RANGE = (1, 1024)  # lib/blurrily/defaults.rb:7
 
+# InferFiltersFromGenerate injects `size(tg) > 0 AND isnotnull(tg)` below the
+# tokenizer projections, re-inlining the whole trigram expression into a
+# per-row Filter where the char-codes transform is re-evaluated per
+# element_at -- O(n^2) interpreted work per document (measured 30x slowdown
+# on the postings build). Our trigram arrays are never empty (a string of
+# length n yields n+1 >= 1 windows, tokeniser.c:72-75), so the inferred
+# filter can never prune a row: excluding the rule is pure win.
+_EXCLUDED_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def tune_session(spark: "SparkSession") -> None:
+    """Idempotently apply engine-required session tuning (safe to call on a
+    session we did not create, e.g. the driver's)."""
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        cur = None
+    rules = {r for r in (cur or "").split(",") if r}
+    if _EXCLUDED_RULE not in rules:
+        rules.add(_EXCLUDED_RULE)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(sorted(rules)))
+
 
 def get_spark(
     app_name: str = "blurrily-spark",
@@ -52,4 +74,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    tune_session(spark)
     return spark

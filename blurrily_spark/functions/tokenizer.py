@@ -163,7 +163,13 @@ def trigrams(norm: Column | str) -> Column:
 
     ``array_distinct(transform(sequence(0, len), k -> code(window_k)))`` --
     len+1 windows (tokeniser.c:72-75), base-28 encode (tokeniser.c:21-31),
-    set-dedup (tokeniser.c:93-118). Entirely whole-stage-codegen'd.
+    set-dedup (tokeniser.c:93-118).
+
+    NOTE: convenient for small/query-side expressions, but the padding
+    expression is evaluated inside the lambda (per character access =
+    O(n^2) interpreted work per row). Bulk paths must use
+    :func:`add_trigrams`, which stages padded -> char codes -> windows as
+    materialized columns so every lambda access is an O(1) element_at.
     """
     c = F.col(norm) if isinstance(norm, str) else norm
     p = padded(c)
@@ -176,6 +182,50 @@ def trigrams(norm: Column | str) -> Column:
         return (c0 + c1 * TRIGRAM_BASE + c2 * TRIGRAM_BASE * TRIGRAM_BASE).cast("int")
 
     return F.array_distinct(F.transform(F.sequence(F.lit(0), F.length(c)), code))
+
+
+def codes_from_padded(p: Column | str) -> Column:
+    """Per-character base-28 codes of the padded string, as array<int>."""
+    c = F.col(p) if isinstance(p, str) else p
+    return F.transform(F.split(c, ""), _enc)
+
+
+def trigrams_from_codes(codes: Column | str, norm_len: Column) -> Column:
+    """Windowed trigram codes from a *materialized* char-code array.
+
+    Each lambda access is element_at (O(1)); the char codes are computed
+    once per row by :func:`codes_from_padded`. This is the bulk/hot path.
+    """
+    cc = F.col(codes) if isinstance(codes, str) else codes
+
+    def code(k: Column) -> Column:
+        c0 = F.element_at(cc, k + F.lit(1))
+        c1 = F.element_at(cc, k + F.lit(2))
+        c2 = F.element_at(cc, k + F.lit(3))
+        return (c0 + c1 * TRIGRAM_BASE + c2 * TRIGRAM_BASE * TRIGRAM_BASE).cast("int")
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(0), norm_len), code))
+
+
+def add_trigrams(df, norm_col: str, out_col: str = "trigrams"):
+    """Staged bulk tokenization over an existing normalized column.
+
+    norm -> padded -> char codes -> windowed trigram codes, each as its own
+    column so Catalyst keeps them materialized (the codes array is
+    referenced three times per window, which blocks project-collapse
+    re-inlining) and lambda bodies never recompute string expressions.
+    """
+    from blurrily_spark.config import tune_session
+
+    tune_session(df.sparkSession)
+    out = (
+        df.withColumn("__pad", padded(F.col(norm_col)))
+        .withColumn("__codes", codes_from_padded(F.col("__pad")))
+        .withColumn(
+            out_col, trigrams_from_codes(F.col("__codes"), F.length(F.col(norm_col)))
+        )
+    )
+    return out.drop("__pad", "__codes")
 
 
 def with_trigrams(df, text_col: str, out_col: str = "trigrams", norm_col: str | None = None):

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from blurrily_spark.config import LIMIT_DEFAULT
-from blurrily_spark.functions.tokenizer import normalize, trigrams
+from blurrily_spark.functions.tokenizer import add_trigrams, normalize
 
 
 def find(
@@ -69,9 +69,9 @@ def find(
             else []
         ),
     )
-    q = q.select(
+    q = add_trigrams(q, "_norm", "_tg").select(
         "query_id",
-        F.explode(trigrams(F.col("_norm"))).alias("trigram"),
+        F.explode("_tg").alias("trigram"),
         *(["_limit"] if limit_col else []),
     )
     if broadcast_queries:

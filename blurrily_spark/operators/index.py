@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from blurrily_spark.functions.tokenizer import normalize, trigrams
+from blurrily_spark.functions.tokenizer import add_trigrams, normalize
 
 POSTINGS_COLS = ("trigram", "ref", "weight")
 
@@ -81,9 +81,11 @@ def build_postings(
     matching spec/blurrily/map_spec.rb:49-53.
     """
     prepared = prepare_needles(df, text_col, ref_col, weight_col, order_col)
-    return prepared.select(
-        F.explode(trigrams("norm")).alias("trigram"), "ref", "weight"
-    ).select(*POSTINGS_COLS)
+    return (
+        add_trigrams(prepared, "norm", "_tg")
+        .select(F.explode("_tg").alias("trigram"), "ref", "weight")
+        .select(*POSTINGS_COLS)
+    )
 
 
 def append_postings(

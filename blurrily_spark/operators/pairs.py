@@ -89,6 +89,54 @@ def candidate_pairs(
     return pairs
 
 
+def rescore_pairs_exact(
+    candidates: DataFrame,
+    records_with_trigrams: DataFrame,
+    ref_col: str = "ref",
+    tg_col: str = "trigrams",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Exact (matches, jaccard) for a candidate pair set, via array intersect.
+
+    Two-phase blocking, phase 2: after a *capped* blocking join proposes
+    candidates (phase 1 with ``max_df`` -- hot trigrams skipped, so its
+    ``matches`` are partial), join each side's full trigram array and
+    compute ``size(array_intersect(tg_a, tg_b))`` -- one JVM expression per
+    pair, no explode, no second self-join. Cost is O(candidates), not
+    O(sum df^2): the capped join bounds candidate generation while this
+    pass restores exact reference semantics.
+
+    Returns (ref_a, ref_b, matches, jaccard, weight_a, weight_b).
+    """
+    recs = records_with_trigrams.select(
+        F.col(ref_col).alias("ref"),
+        F.col(tg_col).alias("_tg"),
+        F.col(weight_col).alias("_w"),
+    )
+    a = recs.select(
+        F.col("ref").alias("ref_a"),
+        F.col("_tg").alias("_tg_a"),
+        F.col("_w").alias("weight_a"),
+    )
+    b = recs.select(
+        F.col("ref").alias("ref_b"),
+        F.col("_tg").alias("_tg_b"),
+        F.col("_w").alias("weight_b"),
+    )
+    return (
+        candidates.select("ref_a", "ref_b")
+        .join(a, "ref_a")
+        .join(b, "ref_b")
+        .withColumn("matches", F.size(F.array_intersect("_tg_a", "_tg_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("matches")
+            / (F.size("_tg_a") + F.size("_tg_b") - F.col("matches")).cast("double"),
+        )
+        .select("ref_a", "ref_b", "matches", "jaccard", "weight_a", "weight_b")
+    )
+
+
 def ref_trigram_counts(postings: DataFrame) -> DataFrame:
     """Unique-trigram count per stored record (|T(ref)|)."""
     return postings.groupBy("ref").agg(F.count(F.lit(1)).alias("n_trigrams"))

@@ -1,0 +1,156 @@
+"""Embedding similarity search: brute-force cosine top-k + IVF scale path.
+
+Over an ``array<float>`` embedding column. The dot product is a pure SQL
+fold (``aggregate(zip_with(...))``) -- JVM-side, deterministic
+left-to-right accumulation, no Python in the hot path.
+
+* :func:`cosine_topk`   -- exact brute force: broadcast the query vectors,
+  score every corpus row, per-query window top-k. The correctness baseline.
+* :func:`ivf_topk`      -- IVF-style ANN: corpus is bucketed by nearest
+  coarse centroid; queries probe only ``nprobe`` nearest buckets, cutting
+  scored candidates by ~n_centroids/nprobe. Same scoring expression, so
+  results are a subset of brute force (exact within probed buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    """Ordered-fold dot product of two array<numeric> columns, as double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, cos, rank).
+
+    The query side is broadcast (ANN query batches are dimension-sized);
+    ties broken by vec_id ASC for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("_v"), F.col("_qv")).alias("cos"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: nearest centroid by cosine.
+
+    ``centroids`` is a small driver-side list (the coarse codebook --
+    at scale it comes out of a sampled k-means; here any deterministic
+    sample works). Shipped as a literal array-of-arrays, evaluated JVM-side.
+    """
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scores = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
+    bucket = F.array_position(scores, F.array_max(scores)) - 1
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k probing the nprobe nearest centroid buckets per query.
+
+    Bucketed corpus joins query probes on bucket id -- at scale the corpus
+    is *stored* partitioned by bucket, so a probe scans only its partitions
+    (partition pruning does the IVF inverted-list lookup).
+    """
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    qscores = F.transform(cents, lambda c: cosine(F.col("_qv"), c))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qv"),
+        qscores.alias("_cs"),
+    )
+    # nprobe nearest buckets: rank centroid scores, keep top nprobe indices
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    ranked = F.reverse(F.array_sort(F.zip_with(F.col("_cs"), idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))))
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda p: p["i"])
+    q = q.select("query_id", "_qv", F.explode(probes).alias("bucket"))
+
+    joined = bucketed.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        "query_id", "vec_id", cosine(F.col("_v"), F.col("_qv")).alias("cos")
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def take_centroids(
+    corpus: DataFrame,
+    n: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse codebook: the n lowest-id vectors.
+
+    A stand-in for sampled k-means (out of scope for the engine itself);
+    deterministic so tests and both scaling runs share a codebook.
+    """
+    rows = corpus.orderBy(F.col(id_col).asc()).limit(n).select(vec_col).collect()
+    return [list(map(float, r[0])) for r in rows]

@@ -1,0 +1,128 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprinting.
+
+All pure SQL expressions (codegen'd, zero Python), designed so a DuckDB
+oracle can reproduce them bit-for-bit for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blurrily_spark.functions.tokenizer import normalize
+
+# Tiny built-in stopword lists for the n-gram language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "que", "pour"],
+    "de": ["der", "die", "und", "das", "ein", "mit", "von", "zu", "den", "ist"],
+}
+
+FINGERPRINT_MOD = 2_147_483_647  # Mersenne prime; keeps the fold ANSI-safe
+FINGERPRINT_BASE = 31
+
+# BPE-ish pre-tokenization: word pieces, numbers, or single non-space symbols
+# (a public GPT-2-style pattern simplified to Java regex).
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_ws_tokens, n_bpe_tokens).
+
+    n_ws_tokens: whitespace tokens; n_bpe_tokens: BPE-ish regex pieces
+    (letters runs / digit runs / single symbols).
+    """
+    txt = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(txt).cast("int").alias("n_chars"),
+        F.size(F.split(F.trim(txt), "\\s+")).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(BPE_SPLIT_RE), 0)).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score.
+
+    Features: length, punctuation ratio, stopword ratio, mean word length.
+    score = stopword_ratio * 0.5 + (1 - punct_ratio) * 0.3
+          + least(n_chars, 2000)/2000 * 0.2
+    (a transparent linear blend -- the point is the Spark plumbing, tuned
+    weights are a modeling question).
+    """
+    txt = F.col(text_col)
+    words = F.split(F.trim(txt), "\\s+")
+    n_chars = F.length(txt).cast("double")
+    n_words = F.size(words).cast("double")
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit("[^A-Za-z0-9\\s]"), 0)).cast("double")
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(sw))).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    score = (
+        stop_ratio * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(n_chars, F.lit(2000.0)) / 2000.0 * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: argmax over per-language hit counts.
+
+    (id, lang, lang_hits). Ties and zero hits resolve to 'und'. A real
+    deployment swaps in fastText/cld3 via a pandas UDF; the Spark shape
+    (one pass, argmax over a literal map) is the deliverable here.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    hit_cols = []
+    for code, sw in sorted(STOPWORDS.items()):
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: w.isin(sw))).cast("long").alias("hits"),
+                F.lit(code).alias("lang"),
+            )
+        )
+    # array_max on struct(hits, lang): max hits, ties -> lexicographically
+    # greatest lang code. Deterministic in both engines.
+    best = F.array_max(F.array(*hit_cols))
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the *normalized* text.
+
+    fp = fold(chars, acc -> (acc * 31 + code(ch)) mod (2^31-1)), acc0 = 0.
+    Stable across engines (pure integer arithmetic), used for cheap
+    content-identity lineage at scale.
+    """
+    norm = normalize(F.col(text_col))
+    # Two-step: normalize may involve the NFKD pandas UDF, which cannot sit
+    # inside the aggregate() lambda.
+    tmp = df.withColumn("_norm", norm)
+    # sequence(1, 0) would count *down* in Spark, so guard the empty string.
+    nc = F.col("_norm")
+    codes = F.when(F.length(nc) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(nc)),
+            lambda i: F.ascii(nc.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * FINGERPRINT_BASE + x, F.lit(FINGERPRINT_MOD)),
+    )
+    return tmp.select(F.col(id_col), fp.alias("fingerprint"))

@@ -34,9 +34,13 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blurrily_spark.functions.tokenizer import normalize, trigrams
+from blurrily_spark.functions.tokenizer import add_trigrams, normalize
 from blurrily_spark.operators.cluster import assign_entities
-from blurrily_spark.operators.pairs import candidate_pairs, with_jaccard
+from blurrily_spark.operators.pairs import (
+    candidate_pairs,
+    rescore_pairs_exact,
+    with_jaccard,
+)
 from blurrily_spark.operators.scoring import match_edges, score_pairs
 
 
@@ -55,8 +59,8 @@ def build_turns(transcripts: DataFrame) -> DataFrame:
 
 
 def turns_to_postings(turns: DataFrame) -> DataFrame:
-    return turns.select(
-        F.explode(trigrams("norm")).alias("trigram"), "ref", "weight"
+    return add_trigrams(turns, "norm", "_tg").select(
+        F.explode("_tg").alias("trigram"), "ref", "weight"
     )
 
 
@@ -137,10 +141,28 @@ class LinkagePipeline:
         postings = self._load_or("postings", lambda: turns_to_postings(turns))
 
         def _pairs():
+            max_df = self.config["max_df"]
+            if max_df:
+                # Two-phase blocking (the scale path): hot trigrams are
+                # excluded from candidate *generation* (bounding the
+                # self-join at sum(min(df, max_df)^2)), then exact
+                # matches/jaccard are restored per candidate with one
+                # array_intersect -- no information loss for near-dups,
+                # which always share rare trigrams too.
+                cand = candidate_pairs(
+                    postings,
+                    min_matches=1,
+                    max_df=max_df,
+                    salt_buckets=self.config["salt_buckets"],
+                )
+                recs = add_trigrams(
+                    turns.select("ref", "norm", "weight"), "norm", "trigrams"
+                )
+                exact = rescore_pairs_exact(cand, recs)
+                return exact.where(F.col("matches") >= self.config["min_matches"])
             raw = candidate_pairs(
                 postings,
                 min_matches=self.config["min_matches"],
-                max_df=self.config["max_df"],
                 salt_buckets=self.config["salt_buckets"],
             )
             return with_jaccard(raw, postings)
@@ -148,17 +170,23 @@ class LinkagePipeline:
         pairs = self._load_or("pairs", _pairs)
 
         def _scores():
+            # Cheap jaccard threshold FIRST: Jaro-Winkler (an Arrow UDF over
+            # both texts) is a tie-break refinement, so it only ever needs to
+            # run on pairs that already pass the match threshold -- never on
+            # the full candidate set (at 10^12 turns that difference is the
+            # whole job).
+            survivors = pairs.where(
+                F.col("jaccard") >= self.config["jaccard_threshold"]
+            )
             records = turns.select("ref", "norm")
-            return score_pairs(pairs, records, compute_jw=self.config["compute_jw"])
+            return score_pairs(
+                survivors, records, compute_jw=self.config["compute_jw"]
+            )
 
         scores = self._load_or("scores", _scores)
 
         def _edges():
-            return match_edges(
-                scores,
-                jaccard_threshold=self.config["jaccard_threshold"],
-                jw_threshold=self.config["jw_threshold"],
-            )
+            return match_edges(scores, jw_threshold=self.config["jw_threshold"])
 
         edges = self._load_or("edges", _edges)
 

@@ -33,12 +33,19 @@ TRANSCRIPTS_SCHEMA = T.StructType(
     ]
 )
 
-_WORDS = (
+_BASE_WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
     "xray yankee zulu london paris york dome puy great masovian airport city "
     "search query table index match weight trigram needle haystack cluster"
 ).split()
+# Widen the vocabulary deterministically (syllable products) so unrelated
+# turns don't share most trigrams -- a 40-word vocab makes every pair a
+# blocking candidate, which is adversarial rather than representative.
+_SYLLABLES = ["ba", "ke", "lo", "mi", "nu", "ra", "si", "tu", "ve", "zo"]
+_WORDS = _BASE_WORDS + [
+    a + b + c for a in _SYLLABLES for b in _SYLLABLES for c in _SYLLABLES[:4]
+]
 
 _DIACRITICS = {"a": "à", "e": "é", "i": "ï", "o": "ô", "u": "ü", "c": "ç"}
 _ROLES = ["user", "assistant", "tool"]

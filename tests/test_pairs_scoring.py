@@ -99,3 +99,48 @@ def test_score_pairs_jw_matches_python(spark):
         exp = jaro_winkler_py(norm[r["ref_a"]], norm[r["ref_b"]])
         assert abs(r["jw"] - exp) < 1e-12
         assert r["weight_delta"] == abs(len(norm[r["ref_a"]]) - len(norm[r["ref_b"]]))
+
+
+def test_rescore_exact_equals_full_join(spark):
+    """Two-phase blocking phase 2: exact rescoring over ALL candidate pairs
+    must reproduce the exact self-join's (matches, jaccard)."""
+    from blurrily_spark.functions.tokenizer import add_trigrams
+    from blurrily_spark.operators.pairs import rescore_pairs_exact
+
+    hay_df = put_rows(spark, HAYSTACK)
+    postings = build_postings(hay_df, order_col="seq")
+    exact = {
+        (r["ref_a"], r["ref_b"]): (r["matches"], round(r["jaccard"], 9))
+        for r in with_jaccard(candidate_pairs(postings), postings).collect()
+    }
+    recs = add_trigrams(
+        prepare_needles(hay_df, order_col="seq"), "norm", "trigrams"
+    )
+    cand = candidate_pairs(postings).select("ref_a", "ref_b")
+    got = {
+        (r["ref_a"], r["ref_b"]): (r["matches"], round(r["jaccard"], 9))
+        for r in rescore_pairs_exact(cand, recs).collect()
+    }
+    assert got == exact
+
+
+def test_capped_blocking_recall_on_near_dups(spark):
+    """With max_df capping, near-dup pairs must still be proposed (they share
+    rare trigrams), and rescoring restores their exact matches."""
+    from blurrily_spark.functions.tokenizer import add_trigrams
+    from blurrily_spark.operators.pairs import rescore_pairs_exact
+
+    rows = [("the quick brown fox jumped", 1), ("the quick brown fox jumps", 2),
+            ("a completely unrelated sentence", 3), ("zzz yyy xxx", 4)]
+    hay_df = put_rows(spark, rows)
+    postings = build_postings(hay_df, order_col="seq")
+    cand = candidate_pairs(postings, max_df=3, min_matches=1)
+    recs = add_trigrams(prepare_needles(hay_df, order_col="seq"), "norm", "trigrams")
+    rescored = {
+        (r["ref_a"], r["ref_b"]): r["matches"]
+        for r in rescore_pairs_exact(cand, recs).collect()
+    }
+    full = {(r["ref_a"], r["ref_b"]): r["matches"]
+            for r in candidate_pairs(postings).collect()}
+    assert (1, 2) in rescored
+    assert rescored[(1, 2)] == full[(1, 2)]  # exact matches restored

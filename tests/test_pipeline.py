@@ -95,3 +95,22 @@ def test_synth_determinism(spark):
     a = generate_transcripts(spark, n_entities=4, seed=9).collect()
     b = generate_transcripts(spark, n_entities=4, seed=9).collect()
     assert a == b
+
+
+def test_pipeline_two_phase_blocking_f1(spark, tmp_path):
+    """max_df capped blocking + exact rescoring keeps F1 >= 0.99."""
+    transcripts = generate_transcripts(
+        spark, n_entities=12, variants_per_entity=3, turns_per_conv=3,
+        words_per_turn=8, n_perturbations=1, seed=11, with_truth=True,
+    )
+    pipe = LinkagePipeline(
+        spark, str(tmp_path), jaccard_threshold=0.55, min_matches=3, max_df=16
+    )
+    entities = pipe.run(transcripts.drop("entity_true"))
+    truth_rows = transcripts.select(
+        F.xxhash64("conv_id", "turn_idx").alias("ref"), "entity_true", "turn_idx"
+    ).collect()
+    truth = {r["ref"]: (r["entity_true"], r["turn_idx"]) for r in truth_rows}
+    pred = {r["ref"]: r["entity_id"] for r in entities.collect()}
+    f1 = pairwise_f1(pred, truth)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} < 0.99 with capped blocking"
