@@ -117,14 +117,15 @@ def q_pairs(spark, sf_dir):
 
 
 def q_pairs_jaccard(spark, sf_dir):
-    p = _postings(spark, sf_dir, subset=True)
+    # cache: with_jaccard reads the postings three times (pairs + 2 count joins)
+    p = _postings(spark, sf_dir, subset=True).cache()
     return with_jaccard(candidate_pairs(p), p).select(
         "ref_a", "ref_b", "matches", F.round("jaccard", 6).alias("jaccard")
     )
 
 
 def q_match_edges(spark, sf_dir):
-    p = _postings(spark, sf_dir, subset=True)
+    p = _postings(spark, sf_dir, subset=True).cache()
     scored = with_jaccard(candidate_pairs(p), p).withColumn(
         "jaccard", F.round("jaccard", 6)
     )

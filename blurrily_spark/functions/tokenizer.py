@@ -47,6 +47,39 @@ _CLEAN_RE = "^[a-z ]+$"  # lib/blurrily/map.rb:41 (note: `+` => empty string is 
 _ASCII_RE = "^[\\x00-\\x7F]*$"
 
 
+def _build_latin_fold() -> tuple[str, str, str]:
+    """Chars whose NFKD-then-ASCII-strip result is <= 1 ASCII char, so the
+    fold is expressible as a JVM ``translate`` (1:1 map or delete).
+
+    Covers Latin-1 Supplement, Latin Extended-A/B and combining marks --
+    i.e. virtually all real-world Latin-script text. Multi-char
+    decompositions (ﬁ -> fi, ĳ -> ij, ...) are excluded and fall through to
+    the exact NFKD pandas UDF.
+    Returns (regex char-class of covered chars, translate src, translate dst
+    [shorter => trailing src chars are deleted]).
+    """
+    mapped: list[tuple[str, str]] = []
+    deleted: list[str] = []
+    for cp in list(range(0x00A0, 0x0250)) + list(range(0x0300, 0x0370)):
+        ch = chr(cp)
+        if ch != ch.lower():  # translate runs on lowered text
+            continue
+        target = "".join(
+            c for c in unicodedata.normalize("NFKD", ch) if ord(c) < 128
+        )
+        if len(target) == 1:
+            mapped.append((ch, target))
+        elif len(target) == 0:
+            deleted.append(ch)
+    src = "".join(m[0] for m in mapped) + "".join(deleted)
+    dst = "".join(m[1] for m in mapped)
+    char_class = "^[\\x00-\\x7F" + src + "]*$"
+    return char_class, src, dst
+
+
+_LATIN_RE, _LATIN_SRC, _LATIN_DST = _build_latin_fold()
+
+
 # ---------------------------------------------------------------------------
 # Pure-Python reference implementation (golden model for tests + oracle gen).
 # ---------------------------------------------------------------------------
@@ -138,12 +171,64 @@ def normalize(col: Column | str) -> Column:
     Whitespace collapse + trim always apply (map.rb:46).
     """
     c = F.lower(F.col(col) if isinstance(col, str) else col)
+    # Four tiers, cheapest first; tiers 1-3 are pure JVM expressions:
+    #   1. already clean                         -> unchanged
+    #   2. ASCII                                 -> regexp fold
+    #   3. Latin-script (1:1 NFKD decomposable)  -> translate fold
+    #   4. anything else                         -> exact NFKD pandas UDF
+    # The Arrow UDF node is evaluated for every row regardless of the WHEN
+    # branch taken (Catalyst extracts Python UDFs unconditionally), so gate
+    # its *input* to NULL for tier 1-3 rows -- the Python side then does no
+    # unicodedata work and ships nothing back for the dominant case.
+    needs_udf = ~(c.rlike(_ASCII_RE) | c.rlike(_LATIN_RE))  # Or short-circuits
+    folded = nfkd_fold(F.when(needs_udf, c))
     base = (
         F.when(c.rlike(_CLEAN_RE), c)
         .when(c.rlike(_ASCII_RE), F.regexp_replace(c, "[^a-z]", " "))
-        .otherwise(nfkd_fold(c))
+        .when(
+            ~needs_udf,
+            F.regexp_replace(F.translate(c, _LATIN_SRC, _LATIN_DST), "[^a-z]", " "),
+        )
+        .otherwise(folded)
     )
     return F.trim(F.regexp_replace(base, "\\s+", " "))
+
+
+def _normalize_jvm(c: Column) -> Column:
+    """Tiers 1-3 only (caller guarantees no tier-4 rows): pure JVM."""
+    base = (
+        F.when(c.rlike(_CLEAN_RE), c)
+        .when(c.rlike(_ASCII_RE), F.regexp_replace(c, "[^a-z]", " "))
+        .otherwise(
+            F.regexp_replace(F.translate(c, _LATIN_SRC, _LATIN_DST), "[^a-z]", " ")
+        )
+    )
+    return F.trim(F.regexp_replace(base, "\\s+", " "))
+
+
+def with_normalized(df, text_col: str, out_col: str = "norm"):
+    """Bulk normalization with a plan-level split: rows whose lowered text is
+    ASCII/Latin take a branch containing NO Python node at all (the Arrow
+    UDF node would otherwise round-trip every row, nulls included), and only
+    genuinely non-Latin rows flow through the exact-NFKD UDF branch. The
+    union preserves S1 semantics exactly; row order is not preserved (no
+    engine operator depends on it).
+    """
+    from blurrily_spark.config import tune_session
+
+    tune_session(df.sparkSession)
+    c = F.lower(F.col(text_col))
+    # ASCII test first: Spark's Or codegen short-circuits, so the expensive
+    # ~300-char Latin class regex only ever runs on non-ASCII rows
+    # (measured 10x on an ASCII-dominant corpus).
+    latin_ok = c.rlike(_ASCII_RE) | c.rlike(_LATIN_RE)
+    latin = df.where(latin_ok | F.col(text_col).isNull()).withColumn(
+        out_col, _normalize_jvm(c)
+    )
+    exotic = df.where(~latin_ok).withColumn(
+        out_col, F.trim(F.regexp_replace(nfkd_fold(c), "\\s+", " "))
+    )
+    return latin.unionByName(exotic)
 
 
 def _enc(ch: Column) -> Column:

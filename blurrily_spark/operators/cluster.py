@@ -90,6 +90,9 @@ def connected_components(
         )
     ).localCheckpoint()
 
+    spark = edges.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
     prev_fp = None
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
@@ -97,6 +100,12 @@ def connected_components(
         if fp == prev_fp:
             break
         prev_fp = fp
+        # Small graphs don't deserve wide shuffles: right-size the next
+        # round's partitioning from the (already-computed) edge count so
+        # the O(log n) tail iterations aren't pure task-scheduling overhead.
+        target = max(1, min(default_parts, fp[0] // 50_000 + 1))
+        if target < e.rdd.getNumPartitions():
+            e = e.coalesce(target)
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from blurrily_spark.functions.tokenizer import add_trigrams, normalize
+from blurrily_spark.functions.tokenizer import add_trigrams, with_normalized
 
 POSTINGS_COLS = ("trigram", "ref", "weight")
 
@@ -44,7 +44,7 @@ def prepare_needles(
     single row per ref is kept (sufficient for batch builds, which have no
     arrival order).
     """
-    out = df.withColumn("norm", normalize(F.col(text_col)))
+    out = with_normalized(df, text_col, "norm")
     if weight_col is not None and weight_col in df.columns:
         w = F.col(weight_col).cast("int")
         out = out.withColumn(

@@ -34,7 +34,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blurrily_spark.functions.tokenizer import add_trigrams, normalize
+from blurrily_spark.functions.tokenizer import add_trigrams, with_normalized
 from blurrily_spark.operators.cluster import assign_entities
 from blurrily_spark.operators.pairs import (
     candidate_pairs,
@@ -51,7 +51,7 @@ def build_turns(transcripts: DataFrame) -> DataFrame:
     per-turn text invariant is checked against this table.
     """
     return (
-        transcripts.withColumn("norm", normalize(F.col("text")))
+        with_normalized(transcripts, "text", "norm")
         .withColumn("ref", F.xxhash64("conv_id", "turn_idx"))
         .withColumn("weight", F.length("norm"))
         .select("ref", "conv_id", "turn_idx", "norm", "weight", "text")

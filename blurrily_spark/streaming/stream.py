@@ -1,0 +1,93 @@
+"""Structured Streaming ingest: transcripts stream -> live trigram index.
+
+The reference's closest streaming behavior is the server's 60 s autosave
+loop (lib/blurrily/server.rb:24-27) -- continuous puts periodically
+committed to disk. Here that becomes a real stream: new transcript files
+land in a directory, each micro-batch is tokenized with the same
+expressions as the batch path, and postings are appended to a parquet
+(Iceberg, on a real cluster) sink with exactly-once checkpointing -- the
+append-only write path matches the reference's put-only index growth
+(deletes stay a batch/table operation, as in W4).
+
+Also provides a watermarked windowed stats stream (turns/sec per role),
+the streaming analogue of F7's counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blurrily_spark.plans.pipeline import build_turns, turns_to_postings
+from blurrily_spark.sources.synth import TRANSCRIPTS_SCHEMA
+
+
+def read_transcripts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_dir)
+
+
+def stream_index_build(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str = "60 seconds",
+):
+    """Continuous index maintenance: stream of transcript turns -> postings
+    appended to ``output_dir``.
+
+    ``processing_time`` defaults to the reference's 60 s autosave cadence;
+    ``available_now=True`` drains the current backlog and stops (used by
+    tests and backfill). Restart resumes from the checkpoint -- the
+    streaming face of the pipeline's resumability.
+    """
+    src = read_transcripts_stream(spark, input_dir)
+    postings = turns_to_postings(build_turns(src))
+    writer = (
+        postings.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_turn_stats(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-window turn counters (streaming F7).
+
+    Returns an unstarted aggregated streaming DataFrame; callers attach a
+    sink (tests use the memory sink + availableNow).
+    """
+    src = read_transcripts_stream(spark, input_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.avg(F.length("text")).alias("avg_len"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "turns",
+            "avg_len",
+        )
+    )

@@ -99,7 +99,8 @@ def test_spark_matches_python_on_random_strings(spark, seed):
     import random
 
     rng = random.Random(seed)
-    alphabet = "abcdefghijklmnopqrstuvwxyz ABCDEFGH-123éü€\t"
+    # exercise all four normalize tiers: clean, ASCII, Latin-translate, NFKD UDF
+    alphabet = "abcdefghijklmnopqrstuvwxyz ABCDEFGH-123éüßçøñāĳﬁµ€λЖ中\t"
     samples = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
         for _ in range(200)
@@ -131,3 +132,16 @@ def test_trigrams_py_deduplicates():
         }
     )
     assert trigrams_py(norm) == expected
+
+
+def test_with_normalized_matches_python(spark):
+    from blurrily_spark.functions.tokenizer import with_normalized
+
+    samples = [s for s, _ in NORMALIZE_CASES] + [
+        "λambda Жук 中文 mixed", "çökmüş ÄÖÜ", "ĳsberg ﬁne", None,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "raw string")
+    got = {r["raw"]: r["norm"] for r in with_normalized(df, "raw", "norm").collect()}
+    assert len(got) == len(set(samples))
+    for s in samples:
+        assert got[s] == normalize_py(s), repr(s)
