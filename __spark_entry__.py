@@ -185,9 +185,9 @@ def q_ann_ivf(spark, sf_dir):  # rows-only (approximate by construction)
     q = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus = emb.where(F.col("vec_id") >= 8)
-    cents = similarity.take_centroids(corpus, n=8)
-    out = similarity.ivf_topk(corpus, q, cents, k=5, nprobe=2)
+    corpus = emb.where(F.col("vec_id") >= 8).cache()
+    cents = similarity.kmeans_centroids(corpus, k=8, iterations=2)
+    out = similarity.ivf_topk(corpus, q, cents, k=5, nprobe=3)
     return out.select("query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank")
 
 

@@ -97,7 +97,8 @@ def main() -> None:
 
     tpath = _ensure_transcripts(spark)
     transcripts = spark.read.parquet(tpath)
-    workdir = tempfile.mkdtemp(prefix="blurrily_bench_wd_")
+    wd_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="blurrily_bench_wd_", dir=wd_base)
     try:
         pipe = LinkagePipeline(
             spark,

@@ -141,6 +141,43 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd-iteration coarse codebook (cosine assignment, mean update).
+
+    Fully distributed per iteration: assign (JVM cosine) -> posexplode ->
+    groupBy(bucket, dim) mean -> collect k*dim floats to the driver (the
+    codebook is dimension-sized by construction). Deterministic: seeds are
+    the k lowest-id vectors. Empty buckets keep their previous centroid.
+    """
+    cents = take_centroids(corpus, k, id_col, vec_col)
+    for _ in range(iterations):
+        assigned = assign_buckets(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select("bucket", F.posexplode("_v").alias("dim", "val"))
+            .groupBy("bucket", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_bucket.setdefault(r["bucket"], {})[r["dim"]] = r["m"]
+        new_cents = []
+        for b, old in enumerate(cents):
+            dims = by_bucket.get(b)
+            if dims:
+                new_cents.append([dims[i] for i in range(len(old))])
+            else:
+                new_cents.append(old)
+        cents = new_cents
+    return cents
+
+
 def take_centroids(
     corpus: DataFrame,
     n: int = 8,
