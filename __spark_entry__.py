@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blurrily_spark.functions import oracle
-from blurrily_spark.functions.tokenizer import normalize, trigrams
+from blurrily_spark.functions.tokenizer import normalize
 from blurrily_spark.operators import dedup, similarity, textstats
 from blurrily_spark.operators.cluster import connected_components
 from blurrily_spark.operators.find import find
@@ -83,10 +83,11 @@ def q_normalize(spark, sf_dir):
 
 
 def q_tokenize(spark, sf_dir):
-    return (
-        _docs(spark, sf_dir)
-        .withColumn("_norm", normalize(F.col("text")))
-        .select("doc_id", F.explode(trigrams("_norm")).alias("trigram"))
+    from blurrily_spark.functions.tokenizer import add_trigrams
+
+    d = _docs(spark, sf_dir).withColumn("_norm", normalize(F.col("text")))
+    return add_trigrams(d, "_norm", "_tg").select(
+        "doc_id", F.explode("_tg").alias("trigram")
     )
 
 
