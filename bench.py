@@ -68,7 +68,12 @@ def main() -> None:
     import __spark_entry__ as em
 
     spark = get_spark("blurrily-bench", master=f"local[{CPUS}]")
-    spark.range(1).count()  # JVM warmup outside timings
+    # warm up JVM + the Arrow/pandas worker pool outside the timings (cold
+    # python-daemon forks under a busy host have produced 10x outliers)
+    from blurrily_spark.functions.tokenizer import nfkd_fold
+
+    warm = spark.range(256).selectExpr("concat('wärm', id) AS t")
+    warm.select(nfkd_fold(warm.t)).count()
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -91,3 +91,48 @@ def stream_turn_stats(
             "avg_len",
         )
     )
+
+
+def stream_conversation_progress(
+    spark: SparkSession,
+    input_dir: str,
+):
+    """Custom stateful operator: running per-conversation counters.
+
+    ``applyInPandasWithState`` keeps (n_turns, n_chars, max_turn_idx) per
+    conv_id across micro-batches -- the streaming analogue of an incremental
+    per-entity accumulator (e.g. live transcript ingestion keyed by
+    conversation). Returns the unstarted streaming DataFrame; attach a sink
+    with outputMode('update'). Note: restarting from a checkpoint requires a
+    fault-tolerant sink (foreachBatch/parquet) -- Spark's memory sink cannot
+    recover a checkpointed query.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = read_transcripts_stream(spark, input_dir)
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        n_turns, n_chars, max_idx = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].str.len().sum())
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_chars, max_idx))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "max_turn_idx": [max_idx],
+            }
+        )
+
+    return src.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType="conv_id string, n_turns long, n_chars long, max_turn_idx int",
+        stateStructType="n_turns long, n_chars long, max_turn_idx int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -66,3 +66,23 @@ def test_stream_turn_stats_memory_sink(spark, tmp_path):
     assert rows
     assert {r["role"] for r in rows} <= {"user", "assistant", "tool"}
     assert sum(r["turns"] for r in rows) == spark.read.parquet(src).count()
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    from blurrily_spark.streaming.stream import stream_conversation_progress
+
+    src = str(tmp_path / "in")
+    t = generate_transcripts(spark, n_entities=3, variants_per_entity=2,
+                             turns_per_conv=4, seed=6)
+    _land(t, src)
+    agg = stream_conversation_progress(spark, src)
+    q = (agg.writeStream.outputMode("update").format("memory")
+         .queryName("conv_progress").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["conv_id"]: (r["n_turns"], r["max_turn_idx"])
+           for r in spark.sql("SELECT * FROM conv_progress").collect()}
+    expected = {r["conv_id"]: r["n"] for r in
+                t.groupBy("conv_id").count().withColumnRenamed("count", "n").collect()}
+    assert set(got) == set(expected)
+    for conv, n in expected.items():
+        assert got[conv] == (n, n - 1)
