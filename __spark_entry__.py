@@ -39,6 +39,13 @@ PAIR_SUBSET = 100  # doc_id < 100 for quadratic pair oracles
 CC_THRESHOLD = 0.6
 DUP_OFFSET = 1_000_000  # synthetic near-dup ids = doc_id + offset
 NGRAM_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 6
+MINHASH_PARAMS = dedup._permutation_params(32, seed=7)
+IVF_FIXED_K = 8     # fixed-codebook IVF (take_centroids): full DuckDB oracle
+IVF_FIXED_NPROBE = 3
+ANN_K = 16          # trained-kmeans IVF: measured recall >= 0.9 (rows-only)
+ANN_NPROBE = 11
+ANN_ITERS = 4
 LANGS = sorted(textstats.STOPWORDS)  # de, en, fr
 
 
@@ -147,12 +154,25 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", "inter", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_minhash_lsh(spark, sf_dir):  # rows-only (hash permutations not in DuckDB)
-    return dedup.minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), num_hashes=32, bands=8)
+def q_minhash_sigs(spark, sf_dir):
+    sigs = dedup.minhash_signatures(_docs_with_dups(spark, sf_dir), w=3, num_hashes=32)
+    return sigs.select("id", F.posexplode("sig").alias("pos", "sig_v")).select(
+        "id", (F.col("pos") + 1).cast("int").alias("j"), "sig_v"
+    )
 
 
-def q_simhash(spark, sf_dir):  # rows-only
-    return dedup.simhash_near_dups(_docs_with_dups(spark, sf_dir), max_hamming=6)
+def q_minhash_lsh(spark, sf_dir):
+    out = dedup.minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), num_hashes=32, bands=8)
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_simhash_fp(spark, sf_dir):
+    return dedup.simhash62(_docs_with_dups(spark, sf_dir)).select("id", "simhash")
+
+
+def q_simhash(spark, sf_dir):
+    # chunk count derives from max_hamming (7 chunks for <=6): exact recall
+    return dedup.simhash_near_dups(_docs_with_dups(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
 
 
 def q_token_count(spark, sf_dir):
@@ -181,14 +201,35 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank")
 
 
-def q_ann_ivf(spark, sf_dir):  # rows-only (approximate by construction)
+def _emb_split(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus = emb.where(F.col("vec_id") >= 8).cache()
-    cents = similarity.kmeans_centroids(corpus, k=8, iterations=2)
-    out = similarity.ivf_topk(corpus, q, cents, k=5, nprobe=3)
+    return emb.where(F.col("vec_id") >= 8), q
+
+
+def q_ann_ivf(spark, sf_dir):
+    # rows-only: the trained-kmeans codebook is approximate by construction;
+    # measured recall@5 vs brute force is >= 0.9 at these settings on all
+    # test SFs (tests/test_similarity.py) -- this corpus is near-isotropic,
+    # so 0.9 recall costs probing ~11/16 of the buckets (clustered corpora
+    # prune far deeper at equal recall).
+    corpus, q = _emb_split(spark, sf_dir)
+    corpus = corpus.cache()
+    cents = similarity.kmeans_centroids(corpus, k=ANN_K, iterations=ANN_ITERS)
+    out = similarity.ivf_topk(corpus, q, cents, k=5, nprobe=ANN_NPROBE)
+    return out.select("query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank")
+
+
+def q_ann_ivf_fixed(spark, sf_dir):
+    # Fully oracle-checked IVF: deterministic take_centroids codebook (the
+    # IVF_FIXED_K lowest-id corpus vectors), so DuckDB re-derives bucket
+    # assignment, probe selection, and scoring bit-for-bit -- this is the
+    # exactness proof of the IVF machinery itself.
+    corpus, q = _emb_split(spark, sf_dir)
+    cents = similarity.take_centroids(corpus, IVF_FIXED_K)
+    out = similarity.ivf_topk(corpus, q, cents, k=5, nprobe=IVF_FIXED_NPROBE)
     return out.select("query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank")
 
 
@@ -224,7 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_fingerprints": q_simhash_fp,
         "simhash_near_dups": q_simhash,
         "token_count": q_token_count,
         "quality_score": q_quality,
@@ -232,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
         "events_window_agg": q_events_window,
     }
 
@@ -324,6 +368,26 @@ SELECT id_a, id_b, inter,
 FROM inter JOIN counts ca ON ca.ref = id_a JOIN counts cb ON cb.ref = id_b
 WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= {NGRAM_THRESHOLD}"""
 
+    out["minhash_signatures"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.minhash_ctes('hay', MINHASH_PARAMS)}
+SELECT ref AS id, CAST(j AS INT) AS j, sig[CAST(j AS INT)] AS sig_v
+FROM hay_sig, (SELECT unnest(range(1, 33)) AS j) t"""
+
+    out["minhash_lsh_pairs"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.minhash_ctes('hay', MINHASH_PARAMS)}
+{oracle.lsh_pairs_sql('hay', num_hashes=32, bands=8)}"""
+
+    out["simhash_fingerprints"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.simhash_ctes('hay')}
+SELECT ref AS id, simhash FROM hay_fp"""
+
+    out["simhash_near_dups"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.simhash_ctes('hay')}
+SELECT a.ref AS id_a, b.ref AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM hay_fp a JOIN hay_fp b ON a.ref < b.ref
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
+
     out["token_count"] = """SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,
   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
@@ -399,6 +463,62 @@ scored AS (
   SELECT q.query_id, c.vec_id,
     {fold_dot} / ({fold_sq('c.embedding')} * {fold_sq('q.qe')}) AS raw_cos
   FROM embeddings c, qv q WHERE c.vec_id >= 8
+),
+ranked AS (
+  SELECT query_id, vec_id, round(raw_cos, 5) AS cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY raw_cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
+
+    # --- ann_ivf_fixed: full IVF re-derivation (take_centroids codebook) ---
+    def _dot(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (u, v) -> u + v)"
+        )
+
+    def _l2(a: str) -> str:
+        return (
+            "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            "), (u, v) -> u + v))"
+        )
+
+    def _cos(a: str, b: str) -> str:
+        # same arg order as similarity.cosine: dot(a,b) / (l2(a) * l2(b))
+        return f"{_dot(a, b)} / ({_l2(a)} * {_l2(b)})"
+
+    # Probe tie rule mirrors Spark's reverse(array_sort(struct(s, i))):
+    # score DESC then index DESC; bucket assignment mirrors
+    # array_position(scores, array_max(scores)): score DESC then index ASC.
+    out["ann_ivf_fixed"] = f"""WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx, embedding AS cvec
+  FROM embeddings WHERE vec_id >= 8 ORDER BY vec_id LIMIT {IVF_FIXED_K}
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+cassign AS (
+  SELECT vec_id, embedding, cidx AS bucket FROM (
+    SELECT c.vec_id, c.embedding, t.cidx,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY {_cos('c.embedding', 't.cvec')} DESC, t.cidx ASC) AS rn
+    FROM corpus c, cents t
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qe, cidx AS bucket FROM (
+    SELECT q.query_id, q.qe, t.cidx,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_cos('q.qe', 't.cvec')} DESC, t.cidx DESC) AS rn
+    FROM qv q, cents t
+  ) WHERE rn <= {IVF_FIXED_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {_cos('a.embedding', 'p.qe')} AS raw_cos
+  FROM cassign a JOIN probes p USING (bucket)
 ),
 ranked AS (
   SELECT query_id, vec_id, round(raw_cos, 5) AS cos,

@@ -31,19 +31,46 @@ This facade targets interactive/compat use; the batch pipeline entry points
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from blurrily_spark.config import LIMIT_DEFAULT
+from blurrily_spark.config import LIMIT_DEFAULT, LIMIT_RANGE
 from blurrily_spark.functions.tokenizer import normalize_py, trigrams_py
 from blurrily_spark.operators.find import find_one
 from blurrily_spark.operators.index import POSTINGS_COLS, build_postings
 from blurrily_spark.operators.index import stats as postings_stats
 
+REF_RANGE = (1, 1 << 31)     # lib/blurrily/defaults.rb:8
+WEIGHT_RANGE = (0, 1 << 31)  # lib/blurrily/defaults.rb:9
+
+# the snapshot format this engine reads/writes (the reference's file header
+# + versioning check, ext/blurrily/storage.c:244-250, becomes a schema check)
+POSTINGS_SCHEMA = {"trigram": "int", "ref": "bigint", "weight": "int"}
+
 
 class ClosedError(RuntimeError):
     """Operation on a closed Map (ext/blurrily/map_ext.c:11-21)."""
+
+
+class ProtocolError(RuntimeError):
+    """Malformed snapshot or wire command (the reference refuses foreign /
+    corrupt files with EPROTO -- ext/blurrily/storage.c:244-250,
+    spec/blurrily/map_spec.rb:281-330 -- and bad commands with an ERROR
+    envelope, lib/blurrily/command_processor.rb:6)."""
+
+
+def validate_needle(needle) -> None:
+    """C7 client-side needle check (lib/blurrily/client.rb:104-106)."""
+    if not isinstance(needle, str) or not needle or "\t" in needle:
+        raise ValueError("bad needle")
+
+
+def validate_ref(ref) -> None:
+    """C7 client-side ref check (lib/blurrily/client.rb:108-110)."""
+    if not isinstance(ref, int) or not REF_RANGE[0] <= ref <= REF_RANGE[1]:
+        raise ValueError(f"REF value must be in {REF_RANGE[0]}..{REF_RANGE[1]}")
 
 
 class Map:
@@ -52,11 +79,10 @@ class Map:
         self._postings = postings  # flushed state (None = empty)
         self._buffer: list[tuple[int, str, int, int]] = []  # (seq, needle, ref, weight)
         self._seq = 0
-        self._refs: set[int] = (
-            {r["ref"] for r in postings.select("ref").distinct().collect()}
-            if postings is not None
-            else set()
-        )
+        # None = unknown (lazy): loading a snapshot must NOT run a driver
+        # collect over every stored ref -- the set is materialized only when
+        # the first put() actually needs the membership test.
+        self._refs: set[int] | None = set() if postings is None else None
         self._clean_path: str | None = None
         self._closed = False
 
@@ -66,13 +92,20 @@ class Map:
         if self._closed:
             raise ClosedError("map is closed")
 
+    def _known_refs(self) -> set[int]:
+        if self._refs is None:
+            self._refs = {
+                r["ref"] for r in self._postings.select("ref").distinct().collect()
+            }
+        return self._refs
+
     # -- write path -------------------------------------------------------
 
     def put(self, needle: str, ref: int, weight: int | None = None) -> int:
         """Returns the number of (unique) trigrams stored; 0 for a dup ref."""
         self._guard()
         ref = int(ref)
-        if ref in self._refs:
+        if ref in self._known_refs():
             return 0
         norm = normalize_py(needle)
         n_trigrams = len(trigrams_py(norm))
@@ -88,21 +121,32 @@ class Map:
         self._flush()
         if self._postings is not None:
             self._postings = self._postings.where(F.col("ref") != ref)
-        self._refs.discard(ref)
+        if self._refs is not None:
+            self._refs.discard(ref)
         self._clean_path = None
 
     def clear(self) -> None:
         self._guard()
         self._postings = None
         self._buffer.clear()
-        self._refs.clear()
+        self._refs = set()
         self._clean_path = None
 
     # -- read path ---------------------------------------------------------
 
     def find(self, needle: str, limit: int = LIMIT_DEFAULT) -> list[tuple[int, int, int]]:
-        """[(ref, matches, weight), ...] -- reference Map#find semantics."""
+        """[(ref, matches, weight), ...] -- reference Map#find semantics.
+
+        ``limit <= 0`` falls back to the default of 10 (map_ext.c:142-146);
+        a limit beyond LIMIT_RANGE is refused (lib/blurrily/defaults.rb:7,
+        client.rb:76-84 -- the reference's clients never send more).
+        """
         self._guard()
+        limit = int(limit)
+        if limit > LIMIT_RANGE[1]:
+            raise ValueError(
+                f"limit must be in {LIMIT_RANGE[0]}..{LIMIT_RANGE[1]}"
+            )
         self._flush()
         if self._postings is None:
             return []
@@ -136,8 +180,27 @@ class Map:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Map":
-        postings = spark.read.parquet(path).select(*POSTINGS_COLS)
-        m = cls(spark, postings)
+        """Open a snapshot. Missing path => FileNotFoundError (the
+        reference's ENOENT); unreadable or wrong-schema data =>
+        ProtocolError (its EPROTO, storage.c:244-250). Loading runs NO
+        Spark job -- refs are resolved lazily on the first put()."""
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        try:
+            postings = spark.read.parquet(path)
+        except Exception as exc:  # unreadable/corrupt/not-parquet
+            raise ProtocolError(f"not a postings snapshot: {path}") from exc
+        found = {f.name: f.dataType.simpleString() for f in postings.schema.fields}
+        bad = {
+            col: found.get(col) for col, t in POSTINGS_SCHEMA.items()
+            if found.get(col) != t
+        }
+        if bad:
+            raise ProtocolError(
+                f"not a postings snapshot: {path} (expected {POSTINGS_SCHEMA}, "
+                f"mismatches {bad})"
+            )
+        m = cls(spark, postings.select(*POSTINGS_COLS))
         m._clean_path = path
         return m
 
@@ -191,3 +254,76 @@ class MapGroup:
     def save_all(self) -> None:
         for name, m in self._maps.items():
             m.save(self._path(name))
+
+
+class CommandProcessor:
+    """C5: wire-command dispatch + error envelope
+    (lib/blurrily/command_processor.rb, goldens
+    spec/blurrily/command_processor_spec.rb).
+
+    One tab-separated request line in, one ``OK\\t...`` / ``ERROR\\t<msg>``
+    line out; FIND results are flattened (ref, matches, weight) triples.
+    The TCP accept loop (C6) stays out of scope by design (SURVEY.md §2.5:
+    the engine's entry point is spark-submit, not a socket) -- this class
+    is exactly the protocol layer such a server would wrap.
+    """
+
+    COMMANDS = ("FIND", "PUT", "DELETE", "CLEAR")
+    _DB_RE = re.compile(r"^[a-z_]+$")
+    _NUM_RE = re.compile(r"^\d+$")
+
+    def __init__(self, map_group: MapGroup):
+        self._group = map_group
+
+    def process_command(self, line: str) -> str:
+        parts = line.split("\t")
+        command, map_name, args = parts[0], parts[1] if len(parts) > 1 else "", parts[2:]
+        try:
+            if command not in self.COMMANDS:
+                raise ProtocolError("Unknown command")
+            if not self._DB_RE.match(map_name):
+                raise ProtocolError("Invalid database name")
+            try:
+                result = getattr(self, f"_on_{command}")(map_name, *args)
+            except TypeError as exc:
+                if "positional argument" in str(exc):  # arity, like Ruby's
+                    raise ProtocolError("wrong number of arguments") from exc
+                raise
+            return "\t".join(["OK", *[str(x) for x in (result or [])]])
+        except (ProtocolError, ValueError) as exc:
+            return f"ERROR\t{exc}"
+
+    # -- commands (command_processor.rb:26-51) ---------------------------
+
+    def _check_ref(self, ref: str) -> int:
+        if not self._NUM_RE.match(ref) or not REF_RANGE[0] <= int(ref) <= REF_RANGE[1]:
+            raise ProtocolError("Invalid reference")
+        return int(ref)
+
+    def _on_PUT(self, map_name: str, needle: str, ref: str, weight: str | None = None):
+        ref_i = self._check_ref(ref)
+        if weight is not None and (
+            not self._NUM_RE.match(weight)
+            or not WEIGHT_RANGE[0] <= int(weight) <= WEIGHT_RANGE[1]
+        ):
+            raise ProtocolError("Invalid weight")
+        self._group.map(map_name).put(needle, ref_i, int(weight) if weight else 0)
+        return None
+
+    def _on_DELETE(self, map_name: str, ref: str):
+        self._group.map(map_name).delete(self._check_ref(ref))
+        return None
+
+    def _on_FIND(self, map_name: str, needle: str, limit: str | None = None):
+        if limit is not None and not (
+            self._NUM_RE.match(limit) and LIMIT_RANGE[0] <= int(limit) <= LIMIT_RANGE[1]
+        ):
+            raise ProtocolError("Limit must be a number")
+        results = self._group.map(map_name).find(
+            needle, int(limit) if limit else LIMIT_DEFAULT
+        )
+        return [x for triple in results for x in triple]
+
+    def _on_CLEAR(self, map_name: str):
+        self._group.clear(map_name)
+        return None

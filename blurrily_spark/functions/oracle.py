@@ -10,6 +10,15 @@ instead.
 
 from __future__ import annotations
 
+from blurrily_spark.functions.hashing import (
+    MERSENNE,
+    POLY_BASE_A,
+    POLY_BASE_B,
+    poly_hash_sql,
+)
+
+SIMHASH_BITS = 62
+
 NORM = (
     "trim(regexp_replace(regexp_replace(lower({text}), '[^a-z]', ' ', 'g'),"
     " '[ ]+', ' ', 'g'))"
@@ -109,6 +118,97 @@ pairs AS (
   JOIN tc ta ON ta.ref = ref_a
   JOIN tc tb ON tb.ref = ref_b
 )"""
+
+
+def simhash_ctes(alias: str) -> str:
+    """CTEs from ``{alias}_norm`` to ``{alias}_fp(ref, simhash)``.
+
+    Bit-for-bit twin of operators.dedup.simhash62 (portable hash family):
+    tokens -> two 31-bit polynomial hashes -> 62 signed bit sums -> sign
+    bits packed into one BIGINT.
+    """
+    h1 = poly_hash_sql("tok", POLY_BASE_A)
+    h2 = poly_hash_sql("tok", POLY_BASE_B)
+    bit_sums = []
+    for k in range(SIMHASH_BITS):
+        src, bit = ("h1", k) if k < 31 else ("h2", k - 31)
+        bit_sums.append(
+            f"SUM(CASE WHEN ({src} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+        )
+    fp = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN (CAST(1 AS BIGINT) << {k}) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return f"""{alias}_tok AS (
+  SELECT ref, unnest(string_split(norm, ' ')) AS tok FROM {alias}_norm
+),
+{alias}_th AS (
+  SELECT ref, {h1} AS h1, {h2} AS h2 FROM {alias}_tok
+),
+{alias}_bits AS (
+  SELECT ref,
+    {(',' + chr(10) + '    ').join(bit_sums)}
+  FROM {alias}_th GROUP BY ref
+),
+{alias}_fp AS (
+  SELECT ref, CAST({fp} AS BIGINT) AS simhash FROM {alias}_bits
+)"""
+
+
+def minhash_ctes(alias: str, params: list[tuple[int, int]], w: int = 3) -> str:
+    """CTEs from ``{alias}_norm`` to ``{alias}_sig(ref, sig)``.
+
+    Bit-for-bit twin of operators.dedup.minhash_signatures (portable hash):
+    word w-shingles -> polynomial shingle hash -> per-permutation list_min.
+    """
+    hs = poly_hash_sql("s")
+    sig_items = ",\n    ".join(
+        f"list_min(list_transform(hl, h -> ({a} * h + {b}) % {MERSENNE}))"
+        for a, b in params
+    )
+    return f"""{alias}_ws AS (
+  SELECT ref, string_split(norm, ' ') AS w FROM {alias}_norm
+),
+{alias}_sh AS (
+  SELECT ref, CASE WHEN len(w) >= {w} THEN
+      list_distinct(list_transform(range(1, len(w) - {w - 2}),
+        i -> array_to_string(w[CAST(i AS INT):CAST(i + {w - 1} AS INT)], ' ')))
+    ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM {alias}_ws
+),
+{alias}_hs AS (
+  SELECT ref, list_transform(shingles, s -> {hs}) AS hl FROM {alias}_sh
+),
+{alias}_sig AS (
+  SELECT ref, [{sig_items}] AS sig FROM {alias}_hs
+)"""
+
+
+def lsh_pairs_sql(
+    alias: str, num_hashes: int, bands: int, round_to: int = 6
+) -> str:
+    """SELECT over ``{alias}_sig``: pairs where some band matches exactly,
+    with est_jaccard = fraction of matching signature positions."""
+    rpb = num_hashes // bands
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sa[{b * rpb + j}] = sb[{b * rpb + j}]" for j in range(1, rpb + 1)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa[{j}] = sb[{j}] THEN 1 ELSE 0 END)"
+        for j in range(1, num_hashes + 1)
+    )
+    return f"""SELECT id_a, id_b,
+  round(({matches}) / {float(num_hashes)}, {round_to}) AS est_jaccard
+FROM (
+  SELECT a.ref AS id_a, b.ref AS id_b, a.sig AS sa, b.sig AS sb
+  FROM {alias}_sig a JOIN {alias}_sig b ON a.ref < b.ref
+)
+WHERE {band_eq}"""
 
 
 def cc_sql(table_sql: str, ref: str, text: str, threshold: float) -> str:

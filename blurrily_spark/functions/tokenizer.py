@@ -43,7 +43,17 @@ from pyspark.sql.types import ArrayType, IntegerType, StringType
 TRIGRAM_BASE = 28  # ext/blurrily/tokeniser.h:22 (alphabet {*, a..z} = 28 symbols)
 TRIGRAM_COUNT = TRIGRAM_BASE**3  # 21952 possible codes; ext/blurrily/storage.c:30
 
-_CLEAN_RE = "^[a-z ]+$"  # lib/blurrily/map.rb:41 (note: `+` => empty string is NOT clean)
+# lib/blurrily/map.rb:41 (note: `+` => empty string is NOT clean).
+# Intentional divergence from a reference quirk: Ruby's /^([a-z ])+$/ anchors
+# ^/$ per *line*, so a multiline needle with one fully-clean line skips the
+# strip branch entirely and keeps digits/diacritics in the normalized output
+# ("abc\n12" -> "abc 12"); the C tokenizer then encodes those bytes as
+# 0-symbols. We anchor over the whole string: the strip branch runs whenever
+# ANY character is outside [a-z ] ("abc\n12" -> "abc"). Deliberate -- the
+# line-dependent leakage is an artifact no reference spec covers, and a
+# guaranteed [a-z ] output alphabet is what makes the base-28 encoding total
+# (tests/test_tokenizer.py::test_multiline_clean_line_divergence).
+_CLEAN_RE = "^[a-z ]+$"
 _ASCII_RE = "^[\\x00-\\x7F]*$"
 
 
@@ -206,13 +216,21 @@ def _normalize_jvm(c: Column) -> Column:
     return F.trim(F.regexp_replace(base, "\\s+", " "))
 
 
-def with_normalized(df, text_col: str, out_col: str = "norm"):
+def with_normalized(df, text_col: str, out_col: str = "norm", adaptive: bool = False):
     """Bulk normalization with a plan-level split: rows whose lowered text is
     ASCII/Latin take a branch containing NO Python node at all (the Arrow
     UDF node would otherwise round-trip every row, nulls included), and only
     genuinely non-Latin rows flow through the exact-NFKD UDF branch. The
     union preserves S1 semantics exactly; row order is not preserved (no
     engine operator depends on it).
+
+    ``adaptive=True`` first runs a cheap single-column probe (filter +
+    limit 1, column-pruned at the scan): if the input has no tier-4 rows --
+    the overwhelmingly common case for real corpora -- the returned plan is
+    ONE scan of pure JVM expressions with no Python node and no union at
+    all. Only use on batch inputs that are cheap to scan twice (file-backed
+    tables); the probe is an eager job, so it is illegal on streaming
+    DataFrames and wasteful on expensive computed inputs.
     """
     from blurrily_spark.config import tune_session
 
@@ -222,6 +240,15 @@ def with_normalized(df, text_col: str, out_col: str = "norm"):
     # ~300-char Latin class regex only ever runs on non-ASCII rows
     # (measured 10x on an ASCII-dominant corpus).
     latin_ok = c.rlike(_ASCII_RE) | c.rlike(_LATIN_RE)
+    if adaptive:
+        has_exotic = bool(
+            df.select(F.col(text_col))
+            .where(~latin_ok & F.col(text_col).isNotNull())
+            .limit(1)
+            .take(1)
+        )
+        if not has_exotic:
+            return df.withColumn(out_col, _normalize_jvm(c))
     latin = df.where(latin_ok | F.col(text_col).isNull()).withColumn(
         out_col, _normalize_jvm(c)
     )

@@ -94,8 +94,10 @@ def connected_components(
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     prev_fp = None
+    cur_parts = default_parts  # shuffles reset partitioning to the default
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
+        cur_parts = default_parts
         fp = _fingerprint(e)
         if fp == prev_fp:
             break
@@ -103,9 +105,12 @@ def connected_components(
         # Small graphs don't deserve wide shuffles: right-size the next
         # round's partitioning from the (already-computed) edge count so
         # the O(log n) tail iterations aren't pure task-scheduling overhead.
+        # (tracked driver-side -- e.rdd.getNumPartitions() would force an
+        # RDD conversion of the plan every round)
         target = max(1, min(default_parts, fp[0] // 50_000 + 1))
-        if target < e.rdd.getNumPartitions():
+        if target < cur_parts:
             e = e.coalesce(target)
+            cur_parts = target
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
 

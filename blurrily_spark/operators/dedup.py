@@ -8,26 +8,40 @@ normalize/shingle machinery:
 * n-gram Jaccard         -- exact set similarity over word shingles;
 * MinHash + LSH          -- the scale path: signature banding turns the
   quadratic all-pairs problem into an equi-join on band keys;
-* SimHash                -- 64-bit fingerprints, near-dups via Hamming
-  distance with band-exact-match blocking.
+* SimHash                -- 62-bit fingerprints, near-dups via Hamming
+  distance with chunk-exact-match blocking whose chunk count is derived
+  from the Hamming threshold (lossless recall by pigeonhole).
 
-All hot-path expressions are JVM-side (xxhash64, higher-order functions);
-ANSI mode is respected -- MinHash permutations run in the Mersenne-prime
-modular space (p = 2^31 - 1) so no multiplication can overflow int64.
+All hot-path expressions are JVM-side (higher-order functions); ANSI mode
+is respected -- MinHash permutations run in the Mersenne-prime modular
+space (p = 2^31 - 1) so no multiplication can overflow int64. Sketch token
+hashes default to the *portable* polynomial family
+(:mod:`blurrily_spark.functions.hashing`) so every operator here is
+bit-for-bit reproducible in the DuckDB oracle; pass ``hash_fn='fast'`` for
+native ``xxhash64`` at production scale (identical semantics modulo the
+hash family).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from blurrily_spark.functions.tokenizer import normalize
+from blurrily_spark.functions.hashing import (
+    MERSENNE,
+    POLY_BASE_A,
+    POLY_BASE_B,
+    poly_hash,
+)
+from blurrily_spark.functions.tokenizer import with_normalized
 
-MERSENNE = 2_147_483_647  # 2^31 - 1
+SIMHASH_BITS = 62  # 2 x 31-bit portable hashes; fits a positive int64
 
 
 def _norm_col(df: DataFrame, text_col: str) -> DataFrame:
-    return df.withColumn("_norm", normalize(F.col(text_col)))
+    # adaptive: an all-ASCII/Latin corpus compiles to a single pure-JVM scan
+    # (no Arrow round-trip, no union) -- see tokenizer.with_normalized.
+    return with_normalized(df, text_col, "_norm", adaptive=True)
 
 
 def exact_duplicates(
@@ -36,8 +50,8 @@ def exact_duplicates(
     """Exact dedup on normalized text: every row labeled with its canonical
     (minimum) id; ``is_dup`` marks rows that would be dropped.
 
-    One shuffle (hash partition by text hash); the window min is computed
-    per normalized-text group.
+    One shuffle (hash partition by normalized text); the window min is
+    computed per normalized-text group.
     """
     win = Window.partitionBy("_norm")
     return (
@@ -117,6 +131,13 @@ def _permutation_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]
     ]
 
 
+def _shingle_hash(s: Column, hash_fn: str) -> Column:
+    """Hash of one shingle into [0, MERSENNE)."""
+    if hash_fn == "fast":
+        return F.pmod(F.xxhash64(s), F.lit(MERSENNE))
+    return poly_hash(s)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -124,19 +145,21 @@ def minhash_signatures(
     w: int = 3,
     num_hashes: int = 32,
     seed: int = 7,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """MinHash signatures: (id, sig array<long> of length num_hashes).
 
-    sig_j = min over shingles s of ((a_j * (xxhash64(s) mod p) + b_j) mod p).
-    Modular arithmetic keeps every product < 2^62 (ANSI-safe). All JVM-side:
-    one xxhash64 per shingle, then `num_hashes` array_min(transform(...)).
+    sig_j = min over shingles s of ((a_j * h(s) + b_j) mod p) with
+    h(s) in [0, p). Modular arithmetic keeps every product < 2^62
+    (ANSI-safe). All JVM-side: one hash per shingle, then ``num_hashes``
+    array_min(transform(...)).
     """
     params = _permutation_params(num_hashes, seed)
     base = _norm_col(df, text_col).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col("_norm"), w),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)),
+            lambda s: _shingle_hash(s, hash_fn),
         ).alias("_h"),
     )
     sig = F.array(
@@ -161,18 +184,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 7,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Approximate near-dup candidate pairs via LSH banding.
 
     Signatures are cut into ``bands`` bands of ``num_hashes/bands`` rows;
-    a pair collides if any band matches exactly. Returns
+    a pair collides iff some band matches exactly. Returns
     ``(id_a, id_b, est_jaccard)`` where est_jaccard is the fraction of
     matching signature positions. The pair-generation join is an equi-join
-    on (band_idx, band_hash) -- linear in colliding docs, never all-pairs.
+    on (band_idx, band_hash) -- linear in colliding docs, never all-pairs;
+    the matched band's actual values are re-compared after the join, so a
+    64-bit band-hash collision can never fabricate a candidate (exact
+    "some band equal" semantics, which is what the oracle checks).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, w, num_hashes, seed)
+    sigs = minhash_signatures(df, id_col, text_col, w, num_hashes, seed, hash_fn)
     banded = sigs.select(
         "id",
         "sig",
@@ -197,9 +224,15 @@ def minhash_lsh_pairs(
 
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash")
+    band_start = F.col("band") * rows_per_band + 1
     cand = (
         a.join(b, ["band", "bhash"])
         .where(F.col("id_a") < F.col("id_b"))
+        # exact band equality (band-hash collisions would otherwise leak)
+        .where(
+            F.slice(F.col("sig_a"), band_start, F.lit(rows_per_band))
+            == F.slice(F.col("sig_b"), band_start, F.lit(rows_per_band))
+        )
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -214,33 +247,58 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
-def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """64-bit SimHash over normalized word tokens: (id, simhash long).
+def _token_hashes(df_tok: DataFrame, hash_fn: str) -> DataFrame:
+    """Adds 62 bit sources: columns h1 (bits 0..30) and h2 (bits 31..61)."""
+    if hash_fn == "fast":
+        h = F.xxhash64("tok")
+        return df_tok.withColumn("h1", h.bitwiseAND(F.lit(MERSENNE))).withColumn(
+            "h2", F.shiftright(h, 31).bitwiseAND(F.lit(MERSENNE))
+        )
+    return df_tok.withColumn("h1", poly_hash(F.col("tok"), POLY_BASE_A)).withColumn(
+        "h2", poly_hash(F.col("tok"), POLY_BASE_B)
+    )
 
-    bit_k(doc) = sign of sum over tokens of (+1 if bit k of xxhash64(token)
-    else -1). Computed as 64 conditional sums after one explode -- a single
-    aggregation pass, no Python.
+
+def simhash62(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """62-bit SimHash over normalized word tokens: (id, simhash long).
+
+    bit_k(doc) = sign of sum over tokens of (+1 if bit k of hash(token)
+    else -1), term-frequency weighted (duplicate tokens count again).
+    Computed as 62 conditional sums after one explode -- a single
+    aggregation pass, no Python. 62 bits = two independent 31-bit portable
+    hashes, so the DuckDB oracle reproduces the fingerprint exactly.
     """
     toks = _norm_col(df, text_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col("_norm"), " ")).alias("tok"),
     )
-    toks = toks.withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{k}")
-        for k in range(64)
-    ]
+    toks = _token_hashes(toks, hash_fn)
+    bit_sums = []
+    for k in range(SIMHASH_BITS):
+        src, bit = ("h1", k) if k < 31 else ("h2", k - 31)
+        bit_sums.append(
+            F.sum(
+                F.when(F.shiftright(F.col(src), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{k}")
+        )
     agg = toks.groupBy("id").agg(*bit_sums)
     fp = None
-    for k in range(64):
+    for k in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{k}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, k)
-        fp = term if fp is None else fp.bitwiseXOR(term)
+        fp = term if fp is None else fp + term  # disjoint bits: + == OR
     return agg.select("id", fp.alias("simhash"))
+
+
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """Evenly distribute SIMHASH_BITS bits over n_chunks non-empty chunks."""
+    bounds = [i * SIMHASH_BITS // n_chunks for i in range(n_chunks + 1)]
+    return [(bounds[i], bounds[i + 1]) for i in range(n_chunks)]
 
 
 def simhash_near_dups(
@@ -248,28 +306,33 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "portable",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+    """Near-dup pairs with Hamming(simhash) <= max_hamming: exact recall.
 
-    Blocking: split the 64-bit fingerprint into 4 16-bit chunks; any pair
-    within Hamming<=3 must match on at least one chunk exactly (pigeonhole),
-    so candidates come from 4 equi-joins, never a cross join.
+    Blocking: the 62-bit fingerprint is split into ``max_hamming + 1``
+    disjoint chunks; a pair within the threshold differs in at most
+    ``max_hamming`` bits, so by pigeonhole at least one chunk matches
+    exactly -- candidates come from ``max_hamming + 1`` equi-joins, never a
+    cross join, with NO recall loss at any threshold (the chunk count is
+    derived from the threshold; a fixed chunking silently misses pairs the
+    moment the caller raises the threshold).
     """
-    fps = simhash64(df, id_col, text_col)
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS})")
+    n_chunks = max_hamming + 1
+    fps = simhash62(df, id_col, text_col, hash_fn)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1)).alias("ckey"),
+        )
+        for c, (lo, hi) in enumerate(_chunk_bounds(n_chunks))
+    ]
     chunks = fps.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
+        F.explode(F.array(*chunk_structs)).alias("ck"),
     ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "chunk", "ckey")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "chunk", "ckey")
@@ -279,7 +342,7 @@ def simhash_near_dups(
         .select("id_a", "id_b", "fp_a", "fp_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )

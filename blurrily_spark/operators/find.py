@@ -61,9 +61,14 @@ def find(
         normalize(F.col(query_text_col)).alias("_norm"),
         *(
             [
-                F.when(F.col(limit_col).cast("int") <= 0, F.lit(LIMIT_DEFAULT))
-                .otherwise(F.col(limit_col).cast("int"))
-                .alias("_limit")
+                # coalesce: a NULL per-query limit means "missing" and falls
+                # back to the default (a bare when().otherwise() would
+                # propagate NULL and `rank <= NULL` drops every row).
+                F.coalesce(
+                    F.when(F.col(limit_col).cast("int") <= 0, F.lit(LIMIT_DEFAULT))
+                    .otherwise(F.col(limit_col).cast("int")),
+                    F.lit(LIMIT_DEFAULT),
+                ).alias("_limit")
             ]
             if limit_col
             else []

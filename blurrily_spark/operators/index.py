@@ -44,7 +44,8 @@ def prepare_needles(
     single row per ref is kept (sufficient for batch builds, which have no
     arrival order).
     """
-    out = with_normalized(df, text_col, "norm")
+    # adaptive: all-ASCII/Latin batches compile to one pure-JVM scan
+    out = with_normalized(df, text_col, "norm", adaptive=True)
     if weight_col is not None and weight_col in df.columns:
         w = F.col(weight_col).cast("int")
         out = out.withColumn(

@@ -141,21 +141,82 @@ def ivf_topk(
     )
 
 
+def assign_buckets_df(
+    corpus: DataFrame,
+    cents_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantization against a *DataFrame* codebook (bucket, cvec).
+
+    The scale path when the codebook is too large to ship as a plan literal
+    (e.g. k = 4096 IVF lists): broadcast-join corpus x codebook, score, and
+    keep the per-vector argmax via a window. Same tie rule as
+    :func:`assign_buckets` (max cosine, then lowest bucket id).
+    """
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(cents_df.select("bucket", "cvec"))).select(
+        "vec_id", "_v", "bucket", cosine(F.col("_v"), F.col("cvec")).alias("_s")
+    )
+    win = Window.partitionBy("vec_id").orderBy(F.col("_s").desc(), F.col("bucket").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "_v", F.col("bucket").cast("int").alias("bucket"))
+    )
+
+
+def maxmin_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic farthest-first (maxmin) seeding: start from the
+    lowest-id vector, then repeatedly take the vector with the smallest
+    maximum cosine to any chosen seed (ties -> lowest id). The k-means++
+    idea without its randomness, so both scaling runs and the test oracle
+    share a codebook. k driver-side jobs of one distributed argmin each.
+    """
+    first = (
+        corpus.orderBy(F.col(id_col).asc()).limit(1).select(vec_col).collect()[0][0]
+    )
+    cents = [list(map(float, first))]
+    for _ in range(k - 1):
+        lits = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        near = F.array_max(F.transform(lits, lambda c: cosine(F.col(vec_col), c)))
+        row = (
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), near.alias("_near"))
+            .orderBy(F.col("_near").asc(), F.col("_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append(list(map(float, row["_v"])))
+    return cents
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeding: str = "maxmin",
 ) -> list[list[float]]:
     """Lloyd-iteration coarse codebook (cosine assignment, mean update).
 
     Fully distributed per iteration: assign (JVM cosine) -> posexplode ->
     groupBy(bucket, dim) mean -> collect k*dim floats to the driver (the
     codebook is dimension-sized by construction). Deterministic: seeds are
-    the k lowest-id vectors. Empty buckets keep their previous centroid.
+    farthest-first from the lowest-id vector (``seeding='maxmin'``) or the
+    k lowest-id vectors (``seeding='lowid'``). Empty buckets keep their
+    previous centroid.
     """
-    cents = take_centroids(corpus, k, id_col, vec_col)
+    if seeding == "maxmin":
+        cents = maxmin_centroids(corpus, k, id_col, vec_col)
+    else:
+        cents = take_centroids(corpus, k, id_col, vec_col)
     for _ in range(iterations):
         assigned = assign_buckets(corpus, cents, id_col, vec_col)
         means = (

@@ -31,7 +31,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from blurrily_spark.functions.tokenizer import add_trigrams, with_normalized
@@ -51,7 +51,7 @@ def build_turns(transcripts: DataFrame) -> DataFrame:
     per-turn text invariant is checked against this table.
     """
     return (
-        with_normalized(transcripts, "text", "norm")
+        with_normalized(transcripts, "text", "norm", adaptive=True)
         .withColumn("ref", F.xxhash64("conv_id", "turn_idx"))
         .withColumn("weight", F.length("norm"))
         .select("ref", "conv_id", "turn_idx", "norm", "weight", "text")
@@ -91,6 +91,7 @@ class LinkagePipeline:
             "jw_threshold": jw_threshold,
         }
         self.metrics: dict[str, dict] = {}
+        self._input_ident: dict | None = None
 
     # -- stage plumbing ------------------------------------------------
 
@@ -98,7 +99,14 @@ class LinkagePipeline:
         return os.path.join(self.workdir, stage)
 
     def _fingerprint(self, stage: str) -> str:
-        return json.dumps({"stage": stage, "config": self.config}, sort_keys=True)
+        # Input identity is part of the fingerprint: re-running the same
+        # workdir against different transcripts must NOT reuse stale stage
+        # outputs. File-backed inputs are identified by their file set;
+        # computed inputs by the logical plan's semantic hash.
+        return json.dumps(
+            {"stage": stage, "config": self.config, "input": self._input_ident},
+            sort_keys=True,
+        )
 
     def _fp_file(self, stage: str) -> str:
         return os.path.join(self.workdir, f"_blurrily_fingerprint_{stage}.json")
@@ -113,13 +121,17 @@ class LinkagePipeline:
 
     def _write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
         t0 = time.time()
+        # Row counts ride along as observed metrics on the write job itself
+        # (CollectMetrics node) -- no extra count() scan per stage.
+        obs = Observation(f"blurrily_{stage}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(stage))
         out = self.spark.read.parquet(self._path(stage))
         self.metrics[stage] = {
-            "rows": out.count(),
+            "rows": obs.get["rows"],
             "seconds": round(time.time() - t0, 3),
             "skipped": False,
         }
@@ -137,6 +149,12 @@ class LinkagePipeline:
     # -- the dataflow ---------------------------------------------------
 
     def run(self, transcripts: DataFrame) -> DataFrame:
+        files = transcripts.inputFiles()
+        self._input_ident = (
+            {"files": sorted(files)}
+            if files
+            else {"semantic_hash": transcripts.semanticHash()}
+        )
         turns = self._load_or("turns", lambda: build_turns(transcripts))
         postings = self._load_or("postings", lambda: turns_to_postings(turns))
 

@@ -93,11 +93,18 @@ def generate_transcripts_pdf(
     words_per_turn: int = 10,
     n_perturbations: int = 2,
     seed: int = 42,
+    entity_offset: int = 0,
 ) -> pd.DataFrame:
-    """Pandas frame of transcripts + ground-truth entity ids."""
+    """Pandas frame of transcripts + ground-truth entity ids.
+
+    ``entity_offset`` shifts the entity id space (conv_id encodes it), so
+    successive batches can be made ref-disjoint -- without it two batches
+    with the same n_entities share conv_ids and the index's W1 dup-ref
+    no-op rightly skips the second batch.
+    """
     rng = random.Random(seed)
     rows = []
-    for e in range(n_entities):
+    for e in range(entity_offset, entity_offset + n_entities):
         templates = [
             _template_text(rng, max(2, words_per_turn + rng.randint(-2, 2)))
             for _ in range(turns_per_conv)
@@ -133,6 +140,7 @@ def generate_transcripts(
     n_perturbations: int = 2,
     seed: int = 42,
     with_truth: bool = False,
+    entity_offset: int = 0,
 ) -> DataFrame:
     """Spark DataFrame in the input-hint schema (+ entity_true if asked)."""
     pdf = generate_transcripts_pdf(
@@ -142,6 +150,7 @@ def generate_transcripts(
         words_per_turn,
         n_perturbations,
         seed,
+        entity_offset,
     )
     schema = TRANSCRIPTS_SCHEMA
     if with_truth:

@@ -5,8 +5,8 @@ loop (lib/blurrily/server.rb:24-27) -- continuous puts periodically
 committed to disk. Here that becomes a real stream: new transcript files
 land in a directory, each micro-batch is tokenized with the same
 expressions as the batch path, and postings are appended to a parquet
-(Iceberg, on a real cluster) sink with exactly-once checkpointing -- the
-append-only write path matches the reference's put-only index growth
+(Iceberg, on a real cluster) sink with checkpointed progress. The sink
+honors W1's dup-ref no-op via a per-batch anti-join against stored refs
 (deletes stay a batch/table operation, as in W4).
 
 Also provides a watermarked windowed stats stream (turns/sec per role),
@@ -15,7 +15,9 @@ the streaming analogue of F7's counters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blurrily_spark.plans.pipeline import build_turns, turns_to_postings
@@ -44,18 +46,48 @@ def stream_index_build(
     """Continuous index maintenance: stream of transcript turns -> postings
     appended to ``output_dir``.
 
+    Each micro-batch runs the batch write path inside ``foreachBatch``:
+    first-wins dedup within the batch, then a left-anti join against the
+    sink's existing refs -- so a turn re-sent in a later file is a NO-OP,
+    exactly the reference's put-on-seen-ref semantics
+    (ext/blurrily/storage.c:408, spec/blurrily/map_spec.rb:61-67). A plain
+    append sink cannot express this (it double-inserts postings and
+    inflates FIND match counts).
+
     ``processing_time`` defaults to the reference's 60 s autosave cadence;
     ``available_now=True`` drains the current backlog and stops (used by
     tests and backfill). Restart resumes from the checkpoint -- the
-    streaming face of the pipeline's resumability.
+    streaming face of the pipeline's resumability. At cluster scale the
+    sink is an Iceberg/Delta table whose per-batch commit is atomic and
+    batchId-idempotent; the parquet append is the sandbox stand-in (a
+    mid-write crash can leave a torn batch that the table format would
+    roll back).
     """
     src = read_transcripts_stream(spark, input_dir)
-    postings = turns_to_postings(build_turns(src))
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        turns = build_turns(batch_df)
+        # first-wins within the micro-batch (deterministic arrival order)
+        win = Window.partitionBy("ref").orderBy(
+            F.col("conv_id").asc(), F.col("turn_idx").asc()
+        )
+        fresh = (
+            turns.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # W2 membership test against the sink: seen refs are skipped
+        if os.path.isdir(output_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(output_dir)
+        ):
+            existing_refs = sess.read.parquet(output_dir).select("ref").distinct()
+            fresh = fresh.join(existing_refs, "ref", "left_anti")
+        turns_to_postings(fresh).write.mode("append").parquet(output_dir)
+
     writer = (
-        postings.writeStream.format("parquet")
-        .option("path", output_dir)
+        src.writeStream.foreachBatch(_append_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -2,8 +2,10 @@
 
 No multi-node cluster exists in this sandbox, so the two-cluster-size
 criterion is evidenced by running the IDENTICAL linkage job at two
-parallelism levels (default local[8] vs local[32], i.e. N and 4N cores) on
-the SAME materialized input parquet, and reporting throughput at both plus
+parallelism levels (default local[2] vs local[8], i.e. N and 4N cores --
+the host reports 32 vCPUs but delivers ~8 real threads, see BENCH.md's
+hardware-ceiling calibration) on the SAME materialized input parquet, and
+reporting throughput at both plus
 efficiency = throughput(4N) / (4 * throughput(N)).
 
 Each level runs in its own subprocess (fresh JVM) so neither run inherits

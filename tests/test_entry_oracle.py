@@ -87,27 +87,4 @@ def test_entry_smoke(spark):
     assert df.columns == ["query_id", "ref", "matches", "weight", "rank"]
 
 
-def test_ivf_kmeans_beats_seed_codebook(spark):
-    """k-means refinement must not degrade ANN recall vs the seed codebook."""
-    import os
-
-    from pyspark.sql import functions as F
-
-    from blurrily_spark.operators import similarity
-
-    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    corpus = emb.where(F.col("vec_id") >= 8).cache()
-    bf = {(r["query_id"], r["vec_id"])
-          for r in similarity.cosine_topk(corpus, q, k=5).collect()}
-    seed = similarity.take_centroids(corpus, 8)
-    km = similarity.kmeans_centroids(corpus, 8, iterations=2)
-
-    def recall(cents):
-        got = {(r["query_id"], r["vec_id"])
-               for r in similarity.ivf_topk(corpus, q, cents, k=5, nprobe=2).collect()}
-        return len(got & bf) / len(bf)
-
-    assert recall(km) >= recall(seed)
+# ANN recall + codebook assertions live in tests/test_similarity.py.

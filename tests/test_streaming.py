@@ -44,8 +44,9 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
     q.awaitTermination(120)
     n1 = spark.read.parquet(out).count()
 
-    # second batch lands; restart from checkpoint processes ONLY the new files
-    _land(generate_transcripts(spark, n_entities=3, seed=2), src)
+    # second batch (disjoint entity ids) lands; restart from checkpoint
+    # processes ONLY the new files
+    _land(generate_transcripts(spark, n_entities=3, seed=2, entity_offset=100), src)
     q2 = stream_index_build(spark, src, out, ckpt, available_now=True)
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
@@ -53,6 +54,37 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
     # exactly-once: total equals a fresh batch run over everything
     expected = turns_to_postings(build_turns(spark.read.parquet(src))).count()
     assert n2 == expected
+
+
+def test_stream_dup_ref_is_noop(spark, tmp_path):
+    """W1 semantics in the streaming path: a turn re-sent in a later file
+    adds ZERO postings (storage.c:408; map_spec.rb:61-67). A plain append
+    sink would double-insert and inflate FIND match counts."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = generate_transcripts(spark, n_entities=3, seed=4)
+    _land(batch1, src)
+    q = stream_index_build(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # the SAME turns land again (new files, same conv_id/turn_idx => same
+    # refs) plus one genuinely new conversation set
+    _land(batch1, src)
+    batch2 = generate_transcripts(spark, n_entities=2, seed=11, entity_offset=500)
+    _land(batch2, src)
+    q2 = stream_index_build(spark, src, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    expected_new = turns_to_postings(build_turns(batch2)).count()
+    assert got.count() == n1 + expected_new  # re-sent refs added nothing
+    # and every ref appears with a single posting set (no duplicates)
+    dup_postings = (
+        got.groupBy("ref", "trigram").count().where(F.col("count") > 1).count()
+    )
+    assert dup_postings == 0
 
 
 def test_stream_turn_stats_memory_sink(spark, tmp_path):

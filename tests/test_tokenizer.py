@@ -145,3 +145,49 @@ def test_with_normalized_matches_python(spark):
     assert len(got) == len(set(samples))
     for s in samples:
         assert got[s] == normalize_py(s), repr(s)
+
+
+def test_multiline_clean_line_divergence(spark):
+    """Documented intentional divergence (ADVICE r1): Ruby's clean-path
+    regex /^([a-z ])+$/ (map.rb:41) anchors per LINE, so 'abc\n12' keeps
+    its digits in the reference ('abc 12'); we anchor over the whole
+    string, so the strip branch runs and digits fold to spaces ('abc').
+    Normalized output is therefore always pure [a-z ], which keeps the
+    base-28 encoding total. This test pins OUR contract so any future
+    change is deliberate."""
+    s = "abc\n12"
+    assert normalize_py(s) == "abc"
+    got = (
+        spark.createDataFrame([(s,)], "t string")
+        .select(normalize(F.col("t")).alias("n"))
+        .first()["n"]
+    )
+    assert got == "abc"
+    # the strip branch must also keep treating \n as whitespace-folding
+    assert normalize_py("ab\ncd") == "ab cd"
+
+
+def test_adaptive_with_normalized_ascii_plan_has_no_python_node(spark):
+    """VERDICT r1 #8: full-corpus scans over ASCII/Latin data must not
+    carry an Arrow/Python eval node. adaptive=True probes once and
+    compiles a single-scan pure-JVM plan when no tier-4 rows exist."""
+    from blurrily_spark.functions.tokenizer import with_normalized
+
+    ascii_df = spark.createDataFrame(
+        [("Hello, World 42",), ("plain text",), (None,)], "t string"
+    )
+    out = with_normalized(ascii_df, "t", "n", adaptive=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert [r["n"] for r in out.orderBy("t").collect()] == [
+        None, "hello world", "plain text"
+    ]
+
+    # exotic rows still take the exact-NFKD branch and stay correct
+    mixed = spark.createDataFrame([("ascii only",), ("日本語 text",)], "t string")
+    got = {
+        r["t"]: r["n"]
+        for r in with_normalized(mixed, "t", "n", adaptive=True).collect()
+    }
+    assert got["ascii only"] == "ascii only"
+    assert got["日本語 text"] == normalize_py("日本語 text")
