@@ -11,7 +11,10 @@ Queries:
   q_blocking_pairs -- candidate pairs + jaccard over the pair subset
   q_connected_components -- thresholded edges -> entity labels
   q_minhash_lsh    -- LSH near-dup pass over the dup-injected corpus
+  q_simhash        -- SimHash near-dups (threshold-derived chunk blocking)
   q_cosine_topk    -- brute-force embedding top-k
+  q_ann_ivf        -- IVF ANN top-k (trained codebook; recall@5 vs brute
+                      force reported as ann_recall_at5)
   q_events_window  -- hourly windowed aggregation over events
   q_linkage_pipeline -- full transcripts->entities linkage run on a seeded
                         synthetic transcripts corpus sized to the SF

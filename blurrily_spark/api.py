@@ -164,7 +164,18 @@ class Map:
     # -- persistence -------------------------------------------------------
 
     def save(self, path: str) -> None:
-        """Parquet snapshot; memoized while the map is unchanged (map.rb:25-30)."""
+        """Parquet snapshot; memoized while the map is unchanged (map.rb:25-30).
+
+        Idempotence contract: the reference promises byte-identical files
+        across repeated saves (spec/blurrily/map_spec.rb:265-269). Here the
+        clean-path memo gives the same guarantee *at snapshot granularity*
+        -- an unchanged map never rewrites at all (test_save_memoized_
+        clean_path asserts no mtime change); a dirtied-then-saved map
+        produces a semantically identical but not byte-identical parquet
+        (row order inside files is partitioning-dependent). Byte identity
+        of a columnar snapshot is an anti-goal at cluster scale -- the
+        stable identity is the table commit, not the file bytes.
+        """
         self._guard()
         if self._clean_path == path:
             return

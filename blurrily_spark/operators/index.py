@@ -123,6 +123,34 @@ def delete_refs(postings: DataFrame, refs: DataFrame | list[int]) -> DataFrame:
     return postings.where(~F.col("ref").isin([int(r) for r in refs]))
 
 
+def save_postings_bucketed(
+    postings: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 16,
+) -> None:
+    """Persist postings bucketed+sorted by ``trigram`` (the cluster-scale
+    storage layout).
+
+    The reference's 28^3-slot array *is* a trigram-clustered layout
+    (ext/blurrily/storage.c:30); on Spark the equivalent is a bucketed
+    table: every FIND gather join and every blocking self-join on
+    ``trigram`` then reads both sides pre-partitioned and pre-sorted, so
+    the join plans with ZERO shuffle exchanges (asserted in
+    tests/test_bucketed.py). On a real cluster this is an Iceberg table
+    with a bucket(trigram) partition transform; here it is a
+    Spark-catalog parquet table at an explicit path.
+    """
+    (
+        postings.select(*POSTINGS_COLS)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "trigram")
+        .sortBy("trigram")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
 def stats(postings: DataFrame) -> DataFrame:
     """F7: {references, trigrams} counters (storage.c:616-621).
 

@@ -145,7 +145,12 @@ def main() -> None:
 
     def best_of(cpus: int) -> dict:
         runs = [run_level(cpus, tpath) for _ in range(args.trials)]
-        return min(runs, key=lambda r: r["pipeline_wall_secs"])
+        best = min(runs, key=lambda r: r["pipeline_wall_secs"])
+        # host noise protection: the hardware ceiling uses the *best*
+        # calibration observed at this level, not the chosen trial's (a
+        # contended window would otherwise couple engine + ceiling noise)
+        best["calib_secs"] = min(r["calib_secs"] for r in runs)
+        return best
 
     low = best_of(args.low)
     high = best_of(args.high)

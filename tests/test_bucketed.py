@@ -1,0 +1,61 @@
+"""Bucketed postings layout: blocking joins must plan without a shuffle.
+
+This is the 100 TB story for the write path: postings stored bucketed by
+trigram make the FIND gather join and the pair-generation self-join
+exchange-free (the reference's fixed 28^3 array layout, re-expressed as a
+bucketed table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blurrily_spark.operators.index import build_postings, save_postings_bucketed
+
+
+def _postings(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return build_postings(docs, text_col="text", ref_col="doc_id", weight_col=None)
+
+
+def test_bucketed_self_join_has_no_shuffle(spark, tmp_path):
+    save_postings_bucketed(
+        _postings(spark), "postings_bucketed_t1", str(tmp_path / "pb"), buckets=8
+    )
+    t = spark.table("postings_bucketed_t1")
+    a = t.select("trigram", F.col("ref").alias("ref_a"))
+    b = t.select("trigram", F.col("ref").alias("ref_b"))
+    joined = (
+        a.join(b, "trigram")
+        .where(F.col("ref_a") < F.col("ref_b"))
+        .groupBy("ref_a", "ref_b")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the join itself must not shuffle either side: the only exchange in
+    # the plan is the one feeding the final groupBy(ref_a, ref_b)
+    join_part = plan.split("HashAggregate")[-1]  # below the agg = join subtree
+    assert "Exchange" not in join_part, join_part[:2000]
+    assert joined.count() > 0
+
+
+def test_bucketed_gather_join_has_no_postings_shuffle(spark, tmp_path):
+    """FIND's gather: broadcast needle trigrams against bucketed postings --
+    no exchange at all on the postings side."""
+    save_postings_bucketed(
+        _postings(spark), "postings_bucketed_t2", str(tmp_path / "pb2"), buckets=8
+    )
+    t = spark.table("postings_bucketed_t2")
+    needles = spark.createDataFrame([(1, 100)], "query_id long, trigram int")
+    joined = F.broadcast(needles).join(t, "trigram").groupBy("query_id", "ref").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # postings enter the broadcast join straight from the scan: the only
+    # exchanges allowed are the broadcast itself and the agg shuffle
+    import re
+
+    non_broadcast_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert len(non_broadcast_exchanges) <= 1  # just the final groupBy
