@@ -22,21 +22,32 @@ def test_bucketed_self_join_has_no_shuffle(spark, tmp_path):
     save_postings_bucketed(
         _postings(spark), "postings_bucketed_t1", str(tmp_path / "pb"), buckets=8
     )
-    t = spark.table("postings_bucketed_t1")
-    a = t.select("trigram", F.col("ref").alias("ref_a"))
-    b = t.select("trigram", F.col("ref").alias("ref_b"))
-    joined = (
-        a.join(b, "trigram")
-        .where(F.col("ref_a") < F.col("ref_b"))
-        .groupBy("ref_a", "ref_b")
-        .agg(F.count(F.lit(1)).alias("matches"))
-    )
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    # the join itself must not shuffle either side: the only exchange in
-    # the plan is the one feeding the final groupBy(ref_a, ref_b)
-    join_part = plan.split("HashAggregate")[-1]  # below the agg = join subtree
-    assert "Exchange" not in join_part, join_part[:2000]
-    assert joined.count() > 0
+    # force the merge-join path (tiny test data would otherwise broadcast,
+    # which hides the bucketing: at real scale neither side is broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("postings_bucketed_t1")
+        a = t.select("trigram", F.col("ref").alias("ref_a"))
+        b = t.select("trigram", F.col("ref").alias("ref_b"))
+        joined = (
+            a.join(b, "trigram")
+            .where(F.col("ref_a") < F.col("ref_b"))
+            .groupBy("ref_a", "ref_b")
+            .agg(F.count(F.lit(1)).alias("matches"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both scan sides must report the bucketed layout...
+        assert plan.count("Bucketed: true") == 2, plan[:2000]
+        # ...and the join subtree must contain NO shuffle: the only
+        # repartitioning exchange allowed anywhere is the one feeding the
+        # final groupBy(ref_a, ref_b)
+        assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, join_part[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_bucketed_gather_join_has_no_postings_shuffle(spark, tmp_path):
