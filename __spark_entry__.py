@@ -46,6 +46,13 @@ IVF_FIXED_NPROBE = 3
 ANN_K = 16          # trained-kmeans IVF: measured recall >= 0.9 (rows-only)
 ANN_NPROBE = 11
 ANN_ITERS = 4
+EMB_SUBSET = 200    # embedding near-dup corpus: vec_id < 200 + injected dups
+EMB_DUP_OFFSET = 10_000
+EMB_DIM = 64
+NEARDUP_COS = 0.95
+RP_BITS = 32
+RP_MAX_HAMMING = 6
+RP_SEED = 11
 LANGS = sorted(textstats.STOPWORDS)  # de, en, fr
 
 
@@ -233,6 +240,45 @@ def q_ann_ivf_fixed(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank")
 
 
+def _emb_with_dups(spark, sf_dir):
+    """Embedding subset + one injected near-duplicate per vector:
+    dup = v + 0.05 * rotate(v, 1), all in double -- cos(v, dup) ~ 0.9987,
+    while natural pairs stay < 0.62. Deterministic arithmetic, so the
+    DuckDB oracle reproduces the corpus (and every cosine) bit-for-bit."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = emb.where(F.col("vec_id") < EMB_SUBSET).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    v = F.col("vec")
+    shifted = F.concat(F.slice(v, 2, F.size(v) - 1), F.slice(v, 1, 1))
+    dup = F.zip_with(v, shifted, lambda a, b: a + F.lit(0.05) * b)
+    dups = base.select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"), dup.alias("vec")
+    )
+    return base.unionByName(dups)
+
+
+def q_cosine_near_dups(spark, sf_dir):
+    out = similarity.cosine_near_dup_pairs(
+        _emb_with_dups(spark, sf_dir), threshold=NEARDUP_COS, vec_col="vec"
+    )
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+
+
+def q_rp_lsh_near_dups(spark, sf_dir):
+    out = similarity.rp_lsh_near_dup_pairs(
+        _emb_with_dups(spark, sf_dir),
+        threshold=NEARDUP_COS,
+        n_bits=RP_BITS,
+        max_hamming=RP_MAX_HAMMING,
+        seed=RP_SEED,
+        dim=EMB_DIM,
+        vec_col="vec",
+    )
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+
+
 def q_events_window(spark, sf_dir):
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return events.groupBy(
@@ -276,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_fixed": q_ann_ivf_fixed,
+        "cosine_near_dups": q_cosine_near_dups,
+        "rp_lsh_near_dups": q_rp_lsh_near_dups,
         "events_window_agg": q_events_window,
     }
 
@@ -527,6 +575,52 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
+
+    # --- embedding near-dups: injected-dup corpus shared by both queries ---
+    emb_corpus = f"""ve AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings WHERE vec_id < {EMB_SUBSET}
+),
+vdups AS (
+  SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id,
+         list_transform(list_zip(vec, vec[2:len(vec)] || vec[1:1]),
+                        p -> CAST(p[1] AS DOUBLE) + 0.05 * CAST(p[2] AS DOUBLE)) AS vec
+  FROM ve
+),
+vcorpus AS (SELECT * FROM ve UNION ALL SELECT * FROM vdups)"""
+
+    out["cosine_near_dups"] = f"""WITH {emb_corpus}
+SELECT id_a, id_b, round(cos, 5) AS cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.vec', 'b.vec')} AS cos
+  FROM vcorpus a, vcorpus b WHERE a.vec_id < b.vec_id
+) WHERE cos >= {NEARDUP_COS}"""
+
+    # random-hyperplane LSH: same planes/blocking as the Spark operator,
+    # re-derived entirely in SQL (sign-bit sketch -> chunk match -> rescore)
+    planes = similarity.random_hyperplanes(RP_BITS, EMB_DIM, RP_SEED)
+    from blurrily_spark.functions.hashing import chunk_bounds
+
+    def _plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN {_dot('vec', _plane_lit(p))} > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j, p in enumerate(planes)
+    )
+    chunk_eq = " OR ".join(
+        f"((a.sig >> {lo}) & {(1 << (hi - lo)) - 1}) = "
+        f"((b.sig >> {lo}) & {(1 << (hi - lo)) - 1})"
+        for lo, hi in chunk_bounds(RP_MAX_HAMMING + 1, RP_BITS)
+    )
+    out["rp_lsh_near_dups"] = f"""WITH {emb_corpus},
+vsigs AS (
+  SELECT vec_id, vec, CAST({sig_terms} AS BIGINT) AS sig FROM vcorpus
+)
+SELECT id_a, id_b, round(cos, 5) AS cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.vec', 'b.vec')} AS cos
+  FROM vsigs a JOIN vsigs b ON a.vec_id < b.vec_id AND ({chunk_eq})
+) WHERE cos >= {NEARDUP_COS}"""
 
     out["events_window_agg"] = """SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

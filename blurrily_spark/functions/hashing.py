@@ -49,6 +49,20 @@ def poly_hash(c: Column, base: int = POLY_BASE_A, mod: int = MERSENNE) -> Column
     )
 
 
+def chunk_bounds(n_chunks: int, total_bits: int) -> list[tuple[int, int]]:
+    """Evenly distribute ``total_bits`` sketch bits over ``n_chunks``
+    non-empty [lo, hi) chunks (requires n_chunks <= total_bits).
+
+    The pigeonhole blocking contract: a pair within Hamming distance
+    ``n_chunks - 1`` must match at least one chunk exactly, so equi-joins
+    on (chunk, chunk_key) are lossless for that threshold.
+    """
+    if not 1 <= n_chunks <= total_bits:
+        raise ValueError(f"n_chunks must be in [1, {total_bits}]")
+    bounds = [i * total_bits // n_chunks for i in range(n_chunks + 1)]
+    return [(bounds[i], bounds[i + 1]) for i in range(n_chunks)]
+
+
 def poly_hash_sql(expr: str, base: int = POLY_BASE_A, mod: int = MERSENNE) -> str:
     """The DuckDB twin of :func:`poly_hash` over SQL expression ``expr``."""
     return (

@@ -31,6 +31,7 @@ from blurrily_spark.functions.hashing import (
     MERSENNE,
     POLY_BASE_A,
     POLY_BASE_B,
+    chunk_bounds,
     poly_hash,
 )
 from blurrily_spark.functions.tokenizer import with_normalized
@@ -295,12 +296,6 @@ def simhash62(
     return agg.select("id", fp.alias("simhash"))
 
 
-def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
-    """Evenly distribute SIMHASH_BITS bits over n_chunks non-empty chunks."""
-    bounds = [i * SIMHASH_BITS // n_chunks for i in range(n_chunks + 1)]
-    return [(bounds[i], bounds[i + 1]) for i in range(n_chunks)]
-
-
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -327,7 +322,7 @@ def simhash_near_dups(
             F.lit(c).alias("chunk"),
             F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1)).alias("ckey"),
         )
-        for c, (lo, hi) in enumerate(_chunk_bounds(n_chunks))
+        for c, (lo, hi) in enumerate(chunk_bounds(n_chunks, SIMHASH_BITS))
     ]
     chunks = fps.select(
         "id",

@@ -239,6 +239,114 @@ def kmeans_centroids(
     return cents
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact brute force.
+
+    All-pairs cosine with ``id_a < id_b`` -- the O(n^2) correctness
+    baseline that validates :func:`rp_lsh_near_dup_pairs` (the scale path).
+    Returns (id_a, id_b, cos).
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def random_hyperplanes(n_bits: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for angular (sign-bit) LSH."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def rp_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit sketch of a vector: bit_j = 1 iff dot(v, plane_j) > 0.
+
+    Packed into one BIGINT (n_bits <= 62). Charikar's angular LSH:
+    P[bit differs] = angle(u, v) / pi, so near-duplicate vectors share
+    almost every bit and Hamming-chunk blocking applies unchanged.
+    """
+    assert len(planes) <= 62
+    sig = None
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec_col, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig + term  # disjoint bits: + == OR
+    return sig
+
+
+def rp_lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 32,
+    max_hamming: int = 6,
+    seed: int = 11,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dups at scale: random-hyperplane LSH + exact rescore.
+
+    1. sketch every vector to an ``n_bits`` sign-bit signature (one scan,
+       pure JVM folds);
+    2. block on ``max_hamming + 1`` signature chunks (pigeonhole: any pair
+       within Hamming <= max_hamming collides on some chunk) -- equi-joins,
+       never all-pairs;
+    3. exact cosine rescore ``>= threshold`` per candidate.
+
+    Precision is exact (step 3); recall is the probability that a
+    qualifying pair lands within ``max_hamming`` sketch bits -- for
+    cos >= 0.95 and 32 bits, P[bit differs] <= acos(.95)/pi ~ 0.101, so
+    P[Hamming <= 6] > 0.97 per pair (measured in tests). More bits buy
+    recall at scale; the blocking contract itself is threshold-derived,
+    as in :func:`blurrily_spark.operators.dedup.simhash_near_dups`.
+    """
+    from blurrily_spark.functions.hashing import chunk_bounds
+
+    if dim is None:
+        first = emb.select(F.size(vec_col)).first()
+        dim = int(first[0])
+    planes = random_hyperplanes(n_bits, dim, seed)
+    sigs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        rp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright("sig", lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1)).alias("ckey"),
+        )
+        for c, (lo, hi) in enumerate(chunk_bounds(max_hamming + 1, n_bits))
+    ]
+    chunks = sigs.select(
+        "id", "_v", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("id", "_v", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    a = chunks.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "chunk", "ckey")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "chunk", "ckey")
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos")
+    ).where(F.col("cos") >= threshold)
+
+
 def take_centroids(
     corpus: DataFrame,
     n: int = 8,

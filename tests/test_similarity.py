@@ -74,6 +74,23 @@ def test_assign_buckets_df_matches_literal(spark, emb):
     assert got_a == got_b
 
 
+def test_rp_lsh_subset_of_brute_with_high_recall(spark):
+    """RP-LSH near-dups: exact precision (cosine rescore) and measured
+    recall vs the brute-force baseline on the injected-dup corpus."""
+    import __spark_entry__ as em
+
+    brute = {
+        (r["id_a"], r["id_b"]) for r in em.q_cosine_near_dups(spark, SF_DIR).collect()
+    }
+    rp = {
+        (r["id_a"], r["id_b"]) for r in em.q_rp_lsh_near_dups(spark, SF_DIR).collect()
+    }
+    assert rp <= brute  # precision exact by construction
+    assert brute, "dup injection must produce qualifying pairs"
+    recall = len(rp & brute) / len(brute)
+    assert recall >= 0.95, f"recall {recall}"
+
+
 def test_maxmin_seeding_deterministic(spark, emb):
     corpus, _ = _split(emb)
     a = similarity.maxmin_centroids(corpus, 4)
