@@ -1,0 +1,84 @@
+"""Physical-plan regression gates.
+
+Asserts the plan properties the engine's 100 TB design depends on, so a
+refactor that silently reintroduces a Python eval node, loses a pushdown,
+or degrades a join strategy fails CI instead of shipping:
+
+* full-corpus scans over ASCII data carry NO Python/Arrow eval node
+  (tokenizer tiers 1-3 + the adaptive split plan);
+* subset predicates reach the parquet scan (PushedFilters);
+* FIND's per-query top-k compiles to WindowGroupLimit (rank-limit
+  pushdown), its gather join broadcasts the needle side;
+* brute-force cosine scoring broadcasts the query batch -- never a
+  CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NO_PYTHON_QUERIES = [
+    "index_build",       # postings build (adaptive normalize, staged trigrams)
+    "dedup_exact",       # full-corpus normalize scan
+    "doc_fingerprint",   # normalize + rolling-hash fold
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "minhash_signatures",  # portable hash family is pure SQL
+    "simhash_fingerprints",
+    "events_window_agg",
+    "cosine_topk",
+    "ann_ivf_fixed",
+    "cosine_near_dups",
+    "rp_lsh_near_dups",
+]
+
+
+@pytest.mark.parametrize("name", NO_PYTHON_QUERIES)
+def test_no_python_eval_node_on_ascii_corpora(spark, name):
+    plan = _plan(em.queries()[name](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        f"{name}: Python eval node in plan"
+    )
+
+
+def test_subset_predicate_pushed_to_scan(spark):
+    plan = _plan(em.q_pairs(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "LessThan(doc_id,100)" in plan.replace(" ", ""), plan[:1500]
+
+
+def test_find_plan_shape(spark):
+    plan = _plan(em.q_find(spark, SF_DIR))
+    # per-query top-k is a rank-limit pushdown, not a global sort
+    assert "WindowGroupLimit" in plan
+    # the needle batch is broadcast against postings
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = _plan(em.q_cosine_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_prunes_columns(spark):
+    """The postings build must read only (doc_id, text), not every
+    documents column."""
+    plan = _plan(em.q_index_build(spark, SF_DIR))
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "text"}, cols
