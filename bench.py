@@ -117,6 +117,7 @@ def main() -> None:
     timed("q_minhash_lsh", lambda: em.q_minhash_lsh(spark, SF_DIR).count())
     timed("q_simhash", lambda: em.q_simhash(spark, SF_DIR).count())
     timed("q_cosine_topk", lambda: em.q_cosine_topk(spark, SF_DIR).count())
+    timed("q_rp_lsh_near_dups", lambda: em.q_rp_lsh_near_dups(spark, SF_DIR).count())
     timed("q_events_window", lambda: em.q_events_window(spark, SF_DIR).count())
 
     # ANN: time the IVF query and report measured recall@5 vs brute force
