@@ -34,7 +34,14 @@ NO_PYTHON_QUERIES = [
     "quality_score",
     "lang_id",
     "minhash_signatures",  # portable hash family is pure SQL
+    "minhash_lsh_pairs",
     "simhash_fingerprints",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "blocking_pairs",
+    "pairs_jaccard",
+    "index_stats",
+    "index_delete",
     "events_window_agg",
     "cosine_topk",
     "ann_ivf_fixed",
