@@ -241,12 +241,15 @@ def with_normalized(df, text_col: str, out_col: str = "norm", adaptive: bool = F
     # (measured 10x on an ASCII-dominant corpus).
     latin_ok = c.rlike(_ASCII_RE) | c.rlike(_LATIN_RE)
     if adaptive:
-        has_exotic = bool(
-            df.select(F.col(text_col))
-            .where(~latin_ok & F.col(text_col).isNotNull())
-            .limit(1)
-            .take(1)
-        )
+        # a parallel any() aggregation, NOT filter+limit(1): when no row
+        # matches (the common all-ASCII/Latin case) limit(1) degenerates to
+        # serial partition waves (CollectLimit scale-up), which caps scaling;
+        # the aggregation is one fully-parallel column-pruned scan.
+        has_exotic = df.agg(
+            F.max(
+                F.when(~latin_ok & F.col(text_col).isNotNull(), 1).otherwise(0)
+            ).alias("x")
+        ).collect()[0]["x"]
         if not has_exotic:
             return df.withColumn(out_col, _normalize_jvm(c))
     latin = df.where(latin_ok | F.col(text_col).isNull()).withColumn(
