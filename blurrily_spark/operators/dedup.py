@@ -177,31 +177,16 @@ def minhash_signatures(
     return base.select("id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    w: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    seed: int = 7,
-    hash_fn: str = "portable",
-) -> DataFrame:
-    """Approximate near-dup candidate pairs via LSH banding.
+def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> one row per band: (id, sig, band, bhash).
 
-    Signatures are cut into ``bands`` bands of ``num_hashes/bands`` rows;
-    a pair collides iff some band matches exactly. Returns
-    ``(id_a, id_b, est_jaccard)`` where est_jaccard is the fraction of
-    matching signature positions. The pair-generation join is an equi-join
-    on (band_idx, band_hash) -- linear in colliding docs, never all-pairs;
-    the matched band's actual values are re-compared after the join, so a
-    64-bit band-hash collision can never fabricate a candidate (exact
-    "some band equal" semantics, which is what the oracle checks).
+    The band key is a 64-bit hash of the band's signature slice -- cheap to
+    shuffle; joins must re-compare the actual slices afterwards (see
+    :func:`lsh_pairs_between`).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, w, num_hashes, seed, hash_fn)
-    banded = sigs.select(
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -223,18 +208,45 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
-    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash")
+
+def lsh_pairs_between(
+    left_banded: DataFrame,
+    right_banded: DataFrame,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Banded-join candidate pairs between two banded signature sets.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``, one row per
+    unordered pair whose signatures match exactly on some band. The join is
+    an equi-join on (band, bhash); the matched band's actual values are
+    re-compared after the join, so a 64-bit band-hash collision can never
+    fabricate a candidate (exact "some band equal" semantics, which is
+    what the oracle checks). For self-dedup pass the same frame twice; for
+    incremental dedup pass (new-batch, all-seen) -- linear in the batch,
+    never a full self-join of history.
+    """
+    rows_per_band = num_hashes // bands
+    a = left_banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash"
+    )
+    b = right_banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash"
+    )
     band_start = F.col("band") * rows_per_band + 1
     cand = (
         a.join(b, ["band", "bhash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        # exact band equality (band-hash collisions would otherwise leak)
+        .where(F.col("id_a") != F.col("id_b"))
         .where(
             F.slice(F.col("sig_a"), band_start, F.lit(rows_per_band))
             == F.slice(F.col("sig_b"), band_start, F.lit(rows_per_band))
         )
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "sig_a",
+            "sig_b",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.size(
@@ -242,10 +254,31 @@ def minhash_lsh_pairs(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda m: m,
         )
-    ) / F.lit(float(
-        num_hashes
-    ))
+    ) / F.lit(float(num_hashes))
     return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Approximate near-dup candidate pairs via LSH banding (self-dedup).
+
+    Signatures are cut into ``bands`` bands of ``num_hashes/bands`` rows;
+    a pair collides iff some band matches exactly. Returns
+    ``(id_a, id_b, est_jaccard)`` where est_jaccard is the fraction of
+    matching signature positions. The pair-generation join is an equi-join
+    on (band_idx, band_hash) -- linear in colliding docs, never all-pairs.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, w, num_hashes, seed, hash_fn)
+    banded = banded_signatures(sigs, num_hashes, bands)
+    return lsh_pairs_between(banded, banded, num_hashes, bands)
 
 
 def _token_hashes(df_tok: DataFrame, hash_fn: str) -> DataFrame:

@@ -96,6 +96,90 @@ def stream_index_build(
     return writer.start()
 
 
+def stream_minhash_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    sigs_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str = "60 seconds",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+):
+    """Incremental near-duplicate detection over a transcript stream.
+
+    Per micro-batch (foreachBatch):
+      1. MinHash-sign the batch's turns (same portable signatures as the
+         batch dedup path; ref = xxhash64(conv_id, turn_idx));
+      2. banded-join the NEW signatures against ALL signatures seen so far
+         (stored signature table) -- linear in the batch, never a
+         history x history self-join; earlier cross-history pairs were
+         already emitted by earlier batches;
+      3. append qualifying pairs (est_jaccard >= threshold) to
+         ``pairs_dir`` and the new signatures to ``sigs_dir``.
+
+    This is the streaming face of a training-data dedup pipeline: documents
+    arrive continuously and every batch is deduplicated against the entire
+    corpus so far, at banded-join cost. At cluster scale both sinks are
+    tables (the signature table bucketed by band hash).
+    """
+    from blurrily_spark.operators.dedup import (
+        banded_signatures,
+        lsh_pairs_between,
+        minhash_signatures,
+    )
+
+    src = read_transcripts_stream(spark, input_dir)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        turns = build_turns(batch_df)
+        win = Window.partitionBy("ref").orderBy(
+            F.col("conv_id").asc(), F.col("turn_idx").asc()
+        )
+        fresh = (
+            turns.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("ref", "norm")
+        )
+        new_sigs = minhash_signatures(
+            fresh, id_col="ref", text_col="norm", num_hashes=num_hashes
+        )
+        existing = None
+        if os.path.isdir(sigs_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sigs_dir)
+        ):
+            existing = sess.read.parquet(sigs_dir)
+            new_sigs = new_sigs.join(existing.select("id"), "id", "left_anti")
+        new_sigs = new_sigs.cache()
+        try:
+            new_banded = banded_signatures(new_sigs, num_hashes, bands)
+            all_banded = (
+                new_banded
+                if existing is None
+                else banded_signatures(existing, num_hashes, bands).unionByName(new_banded)
+            )
+            pairs = lsh_pairs_between(new_banded, all_banded, num_hashes, bands).where(
+                F.col("est_jaccard") >= threshold
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+            new_sigs.write.mode("append").parquet(sigs_dir)
+        finally:
+            new_sigs.unpersist()
+
+    writer = (
+        src.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def stream_turn_stats(
     spark: SparkSession,
     input_dir: str,
