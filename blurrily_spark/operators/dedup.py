@@ -52,9 +52,12 @@ def exact_duplicates(
     (minimum) id; ``is_dup`` marks rows that would be dropped.
 
     One shuffle (hash partition by normalized text); the window min is
-    computed per normalized-text group.
+    computed per normalized-text group. The partition key is prefixed
+    with xxhash64(norm) so the shuffle's sort compares 8-byte hashes and
+    falls back to the full string only on hash-equality -- same groups
+    (hash AND text must match), far cheaper compares on long documents.
     """
-    win = Window.partitionBy("_norm")
+    win = Window.partitionBy(F.xxhash64("_norm"), "_norm")
     return (
         _norm_col(df, text_col)
         .withColumn("canonical_id", F.min(id_col).over(win))
