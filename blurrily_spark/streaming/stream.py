@@ -4,24 +4,29 @@ The reference's closest streaming behavior is the server's 60 s autosave
 loop (lib/blurrily/server.rb:24-27) -- continuous puts periodically
 committed to disk. Here that becomes a real stream: new transcript files
 land in a directory, each micro-batch is tokenized with the same
-expressions as the batch path, and postings are appended to a parquet
-(Iceberg, on a real cluster) sink with checkpointed progress. The sink
-honors W1's dup-ref no-op via a per-batch anti-join against stored refs
-(deletes stay a batch/table operation, as in W4).
+expressions as the batch path, and postings are committed batch-atomically
+through :class:`blurrily_spark.streaming.sink.BatchSink` (an Iceberg/Delta
+table on a real cluster). The sink honors W1's dup-ref no-op via a
+per-batch anti-join against the committed refs (deletes stay a batch/table
+operation, as in W4), is idempotent on batchId replay, and leaves torn
+batches invisible -- the streaming face of the reference's atomic
+rename(2) save (ext/blurrily/storage.c:371-374).
 
 Also provides a watermarked windowed stats stream (turns/sec per role),
-the streaming analogue of F7's counters.
+the streaming analogue of F7's counters, and an incremental MinHash
+dedup stream whose signature history is persisted PRE-BANDED so each
+micro-batch joins against it without recomputing the banding -- per-batch
+cost is O(batch + collisions), not O(history).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blurrily_spark.plans.pipeline import build_turns, turns_to_postings
 from blurrily_spark.sources.synth import TRANSCRIPTS_SCHEMA
+from blurrily_spark.streaming.sink import BatchSink, read_sink  # noqa: F401 (re-export)
 
 
 def read_transcripts_stream(
@@ -35,6 +40,48 @@ def read_transcripts_stream(
     return reader.parquet(input_dir)
 
 
+def index_batch_writer(output_dir: str):
+    """foreachBatch body for :func:`stream_index_build` (module-level so
+    tests can replay a batchId directly and assert the no-op).
+
+    Per micro-batch:
+      1. replayed batchId (marker exists) -> NO-OP (exactly-once on retry);
+      2. first-wins dedup within the batch (deterministic arrival order);
+      3. W2 membership test: left-anti join against the committed sink's
+         refs, so a turn re-sent in a later file adds nothing -- the
+         reference's put-on-seen-ref semantics (ext/blurrily/storage.c:408,
+         spec/blurrily/map_spec.rb:61-67). A plain append sink cannot
+         express this (it double-inserts postings and inflates FIND match
+         counts);
+      4. stage the batch's postings, then commit the marker (atomic
+         publish; a crash before the marker leaves the batch invisible and
+         the replay rewrites it in place).
+    """
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sink = BatchSink(sess, output_dir)
+        if sink.is_committed(batch_id):
+            return
+        turns = build_turns(batch_df)
+        win = Window.partitionBy("ref").orderBy(
+            F.col("conv_id").asc(), F.col("turn_idx").asc()
+        )
+        fresh = (
+            turns.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        existing = sink.read(exclude=batch_id)
+        if existing is not None:
+            existing_refs = existing.select("ref").distinct()
+            fresh = fresh.join(existing_refs, "ref", "left_anti")
+        sink.write(turns_to_postings(fresh), batch_id)
+        sink.commit(batch_id)
+
+    return _append_batch
+
+
 def stream_index_build(
     spark: SparkSession,
     input_dir: str,
@@ -44,49 +91,17 @@ def stream_index_build(
     processing_time: str = "60 seconds",
 ):
     """Continuous index maintenance: stream of transcript turns -> postings
-    appended to ``output_dir``.
-
-    Each micro-batch runs the batch write path inside ``foreachBatch``:
-    first-wins dedup within the batch, then a left-anti join against the
-    sink's existing refs -- so a turn re-sent in a later file is a NO-OP,
-    exactly the reference's put-on-seen-ref semantics
-    (ext/blurrily/storage.c:408, spec/blurrily/map_spec.rb:61-67). A plain
-    append sink cannot express this (it double-inserts postings and
-    inflates FIND match counts).
+    committed batch-atomically to ``output_dir`` (read back with
+    :func:`blurrily_spark.streaming.sink.read_sink`).
 
     ``processing_time`` defaults to the reference's 60 s autosave cadence;
     ``available_now=True`` drains the current backlog and stops (used by
     tests and backfill). Restart resumes from the checkpoint -- the
-    streaming face of the pipeline's resumability. At cluster scale the
-    sink is an Iceberg/Delta table whose per-batch commit is atomic and
-    batchId-idempotent; the parquet append is the sandbox stand-in (a
-    mid-write crash can leave a torn batch that the table format would
-    roll back).
+    streaming face of the pipeline's resumability.
     """
     src = read_transcripts_stream(spark, input_dir)
-
-    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        turns = build_turns(batch_df)
-        # first-wins within the micro-batch (deterministic arrival order)
-        win = Window.partitionBy("ref").orderBy(
-            F.col("conv_id").asc(), F.col("turn_idx").asc()
-        )
-        fresh = (
-            turns.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        # W2 membership test against the sink: seen refs are skipped
-        if os.path.isdir(output_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(output_dir)
-        ):
-            existing_refs = sess.read.parquet(output_dir).select("ref").distinct()
-            fresh = fresh.join(existing_refs, "ref", "left_anti")
-        turns_to_postings(fresh).write.mode("append").parquet(output_dir)
-
     writer = (
-        src.writeStream.foreachBatch(_append_batch)
+        src.writeStream.foreachBatch(index_batch_writer(output_dir))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -94,6 +109,84 @@ def stream_index_build(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def minhash_batch_writer(
+    sigs_dir: str,
+    pairs_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+):
+    """foreachBatch body for :func:`stream_minhash_dedup`.
+
+    Per micro-batch:
+      1. fully-replayed batchId (both sinks' markers exist) -> NO-OP;
+         a PARTIAL replay (crash between the two commits) recomputes from
+         the history read with ``exclude=batch_id`` -- a deterministic
+         pure function of (batch, history-before-this-batch) -- so the
+         rewrite is byte-equivalent and the missing sink is published
+         without double-emitting the other (round-2 ADVICE: the pairs
+         sink used to replay-append);
+      2. MinHash-sign the batch's turns (same portable signatures as the
+         batch dedup path; ref = xxhash64(conv_id, turn_idx));
+      3. banded-join the NEW banded signatures against the STORED banded
+         history -- the history is persisted pre-banded (id, sig, band,
+         bhash), so no per-batch re-banding: batch cost is
+         O(batch + collisions), never O(history). At cluster scale the
+         signature table is bucketed by bhash and this join is
+         shuffle-free on the history side;
+      4. stage + commit qualifying pairs (est_jaccard >= threshold), then
+         stage + commit the new banded signatures.
+    """
+    from blurrily_spark.operators.dedup import (
+        banded_signatures,
+        lsh_pairs_between,
+        minhash_signatures,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sig_sink = BatchSink(sess, sigs_dir)
+        pair_sink = BatchSink(sess, pairs_dir)
+        if sig_sink.is_committed(batch_id) and pair_sink.is_committed(batch_id):
+            return
+        turns = build_turns(batch_df)
+        win = Window.partitionBy("ref").orderBy(
+            F.col("conv_id").asc(), F.col("turn_idx").asc()
+        )
+        fresh = (
+            turns.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("ref", "norm")
+        )
+        new_sigs = minhash_signatures(
+            fresh, id_col="ref", text_col="norm", num_hashes=num_hashes
+        )
+        # pre-banded history: (id, sig, band, bhash); exclude this batch so
+        # a partial-commit replay recomputes against the pre-batch history
+        stored_banded = sig_sink.read(exclude=batch_id)
+        if stored_banded is not None:
+            seen_ids = stored_banded.select("id").distinct()
+            new_sigs = new_sigs.join(seen_ids, "id", "left_anti")
+        new_banded = banded_signatures(new_sigs, num_hashes, bands).cache()
+        try:
+            all_banded = (
+                new_banded
+                if stored_banded is None
+                else stored_banded.unionByName(new_banded)
+            )
+            pairs = lsh_pairs_between(new_banded, all_banded, num_hashes, bands).where(
+                F.col("est_jaccard") >= threshold
+            )
+            pair_sink.write(pairs, batch_id)
+            pair_sink.commit(batch_id)
+            sig_sink.write(new_banded, batch_id)
+            sig_sink.commit(batch_id)
+        finally:
+            new_banded.unpersist()
+
+    return _batch
 
 
 def stream_minhash_dedup(
@@ -110,67 +203,18 @@ def stream_minhash_dedup(
 ):
     """Incremental near-duplicate detection over a transcript stream.
 
-    Per micro-batch (foreachBatch):
-      1. MinHash-sign the batch's turns (same portable signatures as the
-         batch dedup path; ref = xxhash64(conv_id, turn_idx));
-      2. banded-join the NEW signatures against ALL signatures seen so far
-         (stored signature table) -- linear in the batch, never a
-         history x history self-join; earlier cross-history pairs were
-         already emitted by earlier batches;
-      3. append qualifying pairs (est_jaccard >= threshold) to
-         ``pairs_dir`` and the new signatures to ``sigs_dir``.
-
-    This is the streaming face of a training-data dedup pipeline: documents
-    arrive continuously and every batch is deduplicated against the entire
-    corpus so far, at banded-join cost. At cluster scale both sinks are
-    tables (the signature table bucketed by band hash).
+    The streaming face of a training-data dedup pipeline: documents arrive
+    continuously and every batch is deduplicated against the entire corpus
+    so far at banded-join cost (never a history x history self-join --
+    earlier cross-history pairs were already emitted by earlier batches).
+    Read results with :func:`blurrily_spark.streaming.sink.read_sink` on
+    ``pairs_dir`` / ``sigs_dir``.
     """
-    from blurrily_spark.operators.dedup import (
-        banded_signatures,
-        lsh_pairs_between,
-        minhash_signatures,
-    )
-
     src = read_transcripts_stream(spark, input_dir)
-
-    def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        turns = build_turns(batch_df)
-        win = Window.partitionBy("ref").orderBy(
-            F.col("conv_id").asc(), F.col("turn_idx").asc()
-        )
-        fresh = (
-            turns.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") == 1)
-            .select("ref", "norm")
-        )
-        new_sigs = minhash_signatures(
-            fresh, id_col="ref", text_col="norm", num_hashes=num_hashes
-        )
-        existing = None
-        if os.path.isdir(sigs_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(sigs_dir)
-        ):
-            existing = sess.read.parquet(sigs_dir)
-            new_sigs = new_sigs.join(existing.select("id"), "id", "left_anti")
-        new_sigs = new_sigs.cache()
-        try:
-            new_banded = banded_signatures(new_sigs, num_hashes, bands)
-            all_banded = (
-                new_banded
-                if existing is None
-                else banded_signatures(existing, num_hashes, bands).unionByName(new_banded)
-            )
-            pairs = lsh_pairs_between(new_banded, all_banded, num_hashes, bands).where(
-                F.col("est_jaccard") >= threshold
-            )
-            pairs.write.mode("append").parquet(pairs_dir)
-            new_sigs.write.mode("append").parquet(sigs_dir)
-        finally:
-            new_sigs.unpersist()
-
     writer = (
-        src.writeStream.foreachBatch(_batch)
+        src.writeStream.foreachBatch(
+            minhash_batch_writer(sigs_dir, pairs_dir, num_hashes, bands, threshold)
+        )
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

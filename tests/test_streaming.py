@@ -1,15 +1,20 @@
-"""Structured Streaming: file-source ingest -> postings sink, resume, stats."""
+"""Structured Streaming: file-source ingest -> postings sink, resume, stats,
+batchId-idempotent atomic commits, and pre-banded incremental dedup."""
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import functions as F
 
 from blurrily_spark.operators.find import find_one
 from blurrily_spark.plans.pipeline import build_turns, turns_to_postings
 from blurrily_spark.sources.synth import generate_transcripts
-from blurrily_spark.streaming.stream import stream_index_build, stream_turn_stats
+from blurrily_spark.streaming.sink import BatchSink, read_sink
+from blurrily_spark.streaming.stream import (
+    index_batch_writer,
+    minhash_batch_writer,
+    stream_index_build,
+    stream_turn_stats,
+)
 
 
 def _land(df, path):
@@ -27,7 +32,7 @@ def test_stream_index_build_matches_batch(spark, tmp_path):
     q = stream_index_build(spark, src, out, ckpt, available_now=True)
     q.awaitTermination(120)
 
-    got = spark.read.parquet(out)
+    got = read_sink(spark, out)
     expected = turns_to_postings(build_turns(spark.read.parquet(src)))
     assert got.count() == expected.count()
     # streamed index answers FIND like a batch-built one
@@ -42,14 +47,14 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
     _land(generate_transcripts(spark, n_entities=3, seed=1), src)
     q = stream_index_build(spark, src, out, ckpt, available_now=True)
     q.awaitTermination(120)
-    n1 = spark.read.parquet(out).count()
+    n1 = read_sink(spark, out).count()
 
     # second batch (disjoint entity ids) lands; restart from checkpoint
     # processes ONLY the new files
     _land(generate_transcripts(spark, n_entities=3, seed=2, entity_offset=100), src)
     q2 = stream_index_build(spark, src, out, ckpt, available_now=True)
     q2.awaitTermination(120)
-    n2 = spark.read.parquet(out).count()
+    n2 = read_sink(spark, out).count()
     assert n2 > n1
     # exactly-once: total equals a fresh batch run over everything
     expected = turns_to_postings(build_turns(spark.read.parquet(src))).count()
@@ -67,7 +72,7 @@ def test_stream_dup_ref_is_noop(spark, tmp_path):
     _land(batch1, src)
     q = stream_index_build(spark, src, out, ckpt, available_now=True)
     q.awaitTermination(120)
-    n1 = spark.read.parquet(out).count()
+    n1 = read_sink(spark, out).count()
 
     # the SAME turns land again (new files, same conv_id/turn_idx => same
     # refs) plus one genuinely new conversation set
@@ -77,7 +82,7 @@ def test_stream_dup_ref_is_noop(spark, tmp_path):
     q2 = stream_index_build(spark, src, out, ckpt, available_now=True)
     q2.awaitTermination(120)
 
-    got = spark.read.parquet(out)
+    got = read_sink(spark, out)
     expected_new = turns_to_postings(build_turns(batch2)).count()
     assert got.count() == n1 + expected_new  # re-sent refs added nothing
     # and every ref appears with a single posting set (no duplicates)
@@ -87,10 +92,77 @@ def test_stream_dup_ref_is_noop(spark, tmp_path):
     assert dup_postings == 0
 
 
-def test_stream_minhash_dedup_incremental(spark, tmp_path):
+def test_stream_replayed_batch_is_noop(spark, tmp_path):
+    """BatchId replay (Structured Streaming re-runs a batch after a sink
+    failure) must not double-append: the committed marker makes the retry
+    an exact no-op -- the streaming face of the reference's atomic save
+    (ext/blurrily/storage.c:371-374)."""
+    out = str(tmp_path / "out")
+    batch = generate_transcripts(spark, n_entities=3, seed=7)
+    writer = index_batch_writer(out)
+    writer(batch, 0)
+    n1 = read_sink(spark, out).count()
+    assert n1 > 0
+    writer(batch, 0)  # simulated replay of the same batchId
+    assert read_sink(spark, out).count() == n1
+
+
+def test_stream_torn_batch_is_invisible_then_replayed(spark, tmp_path):
+    """A batch that wrote data but crashed before the commit marker must be
+    invisible to readers; the replay rewrites the same batch dir in place
+    and publishes exactly one copy."""
+    out = str(tmp_path / "out")
+    batch = generate_transcripts(spark, n_entities=3, seed=8)
+    postings = turns_to_postings(build_turns(batch))
+    sink = BatchSink(spark, out)
+    sink.write(postings, 0)  # torn: staged but never committed
+    assert read_sink(spark, out) is None
+    # replay of batch 0 through the real writer: exactly one copy published
+    writer = index_batch_writer(out)
+    writer(batch, 0)
+    assert read_sink(spark, out).count() == postings.count()
+
+
+def test_minhash_replayed_batch_is_noop_for_both_sinks(spark, tmp_path):
+    """A replayed batchId re-appends to NEITHER dedup sink (ADVICE round 2:
+    a crash between the pairs and sigs appends used to double-emit pairs)."""
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    batch = generate_transcripts(spark, n_entities=3, variants_per_entity=2,
+                                 turns_per_conv=3, n_perturbations=1, seed=3)
+    writer = minhash_batch_writer(sigs, pairs, threshold=0.4)
+    writer(batch, 0)
+    np1, ns1 = read_sink(spark, pairs).count(), read_sink(spark, sigs).count()
+    assert np1 > 0 and ns1 > 0
+    writer(batch, 0)  # full replay
+    assert read_sink(spark, pairs).count() == np1
+    assert read_sink(spark, sigs).count() == ns1
+
+    # PARTIAL commit: batch 1 crashed after committing pairs but before the
+    # sigs commit -- the replay must publish the missing sigs and leave the
+    # already-committed pairs single-copy (recompute excludes batch 1's own
+    # rows from the history, so outputs are identical)
+    batch2 = generate_transcripts(spark, n_entities=3, variants_per_entity=4,
+                                  turns_per_conv=3, n_perturbations=1, seed=3)
+    batch2 = batch2.where(batch2.conv_id.endswith("_v02") | batch2.conv_id.endswith("_v03"))
+    writer(batch2, 1)
+    np2, ns2 = read_sink(spark, pairs).count(), read_sink(spark, sigs).count()
+    assert np2 > np1
+    # simulate the crash: un-commit the sigs half of batch 1
+    fs, marker = BatchSink(spark, sigs)._marker(1)
+    fs.delete(marker, False)
+    writer(batch2, 1)  # replay of the partially-committed batch
+    assert read_sink(spark, pairs).count() == np2, "pairs must not double-emit"
+    assert read_sink(spark, sigs).count() == ns2, "sigs republished exactly once"
+
+
+def test_stream_minhash_dedup_incremental(spark, tmp_path, monkeypatch):
     """Streaming near-dup detection: each batch dedups against the whole
     history; re-running with a second batch emits ONLY new pairs (history x
-    history never re-joins), and cross-batch near-dups are found."""
+    history never re-joins), cross-batch near-dups are found, and the
+    history is consumed PRE-BANDED (banded_signatures is only ever applied
+    to the new batch, never recomputed over the stored history)."""
+    from blurrily_spark.operators import dedup
     from blurrily_spark.streaming.stream import stream_minhash_dedup
 
     src = str(tmp_path / "in")
@@ -104,28 +176,39 @@ def test_stream_minhash_dedup_incremental(spark, tmp_path):
     q = stream_minhash_dedup(spark, src, sigs, pairs, ckpt,
                              available_now=True, threshold=0.4)
     q.awaitTermination(120)
-    p1 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()}
+    p1 = {(r["id_a"], r["id_b"]) for r in read_sink(spark, pairs).collect()}
     assert p1, "variant turns within batch 1 must collide"
-    n_sigs1 = spark.read.parquet(sigs).count()
+    sig_store = read_sink(spark, sigs)
+    # the history is persisted in banded form: (id, sig, band, bhash)
+    assert set(sig_store.columns) == {"id", "sig", "band", "bhash"}
+    n_ids1 = sig_store.select("id").distinct().count()
 
     # batch 2: new entities whose texts are near-dups ACROSS batches
-    # (variant 0 of each entity is the pristine template, so re-generating
-    # the same entities under a new id offset is not possible; instead we
-    # re-send entity texts with extra variants -- same conv templates,
-    # different variant ids => new refs, near-dup texts)
     batch2 = generate_transcripts(spark, n_entities=3, variants_per_entity=4,
                                   turns_per_conv=3, n_perturbations=1, seed=3)
     batch2 = batch2.where(~batch2.conv_id.endswith("_v00") & ~batch2.conv_id.endswith("_v01"))
     _land(batch2, src)
+
+    calls: list[int] = []
+    real_banded = dedup.banded_signatures
+
+    def counting_banded(sigs_df, num_hashes, bands):
+        calls.append(1)
+        return real_banded(sigs_df, num_hashes, bands)
+
+    monkeypatch.setattr(dedup, "banded_signatures", counting_banded)
     q2 = stream_minhash_dedup(spark, src, sigs, pairs, ckpt,
                               available_now=True, threshold=0.4)
     q2.awaitTermination(120)
+    # exactly one banding per micro-batch -- of the NEW signatures only;
+    # the stored history enters the join pre-banded
+    assert len(calls) == 1
 
-    all_pairs = [(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()]
+    all_pairs = [(r["id_a"], r["id_b"]) for r in read_sink(spark, pairs).collect()]
     assert len(all_pairs) == len(set(all_pairs)), "no pair emitted twice"
     new_pairs = set(all_pairs) - p1
     assert new_pairs, "cross-batch near-dups must be detected"
-    assert spark.read.parquet(sigs).count() > n_sigs1
+    assert read_sink(spark, sigs).select("id").distinct().count() > n_ids1
     # every batch-1 pair is still exactly once (append-only, no re-emit)
     assert p1 <= set(all_pairs)
 
