@@ -180,6 +180,13 @@ class Map:
         if self._clean_path == path:
             return
         self._flush()
+        if self._postings is not None and self._reads_from(path):
+            # load(path) -> delete(ref) -> save(path): the postings lineage
+            # still reads the target, and Spark refuses to overwrite a path
+            # it is reading from. Materialize first (localCheckpoint), the
+            # engine-side analogue of the reference's write-then-rename(2)
+            # atomic save (ext/blurrily/storage.c:371-374).
+            self._postings = self._postings.localCheckpoint()
         df = (
             self._postings
             if self._postings is not None
@@ -219,6 +226,17 @@ class Map:
         self._closed = True
 
     # -- internals ----------------------------------------------------------
+
+    def _reads_from(self, path: str) -> bool:
+        """True when the postings lineage reads files under ``path``."""
+        from urllib.parse import urlparse
+
+        target = os.path.abspath(path)
+        for uri in self._postings.inputFiles():
+            p = os.path.abspath(urlparse(uri).path or uri)
+            if p == target or p.startswith(target + os.sep):
+                return True
+        return False
 
     def _flush(self) -> None:
         if not self._buffer:
@@ -294,12 +312,18 @@ class CommandProcessor:
                 raise ProtocolError("Unknown command")
             if not self._DB_RE.match(map_name):
                 raise ProtocolError("Invalid database name")
+            handler = getattr(self, f"_on_{command}")
+            # arity is validated BEFORE dispatch (signature bind), so a
+            # genuine TypeError raised inside a command implementation
+            # propagates as a bug instead of masquerading as the protocol's
+            # wrong-number-of-arguments reply
+            import inspect
+
             try:
-                result = getattr(self, f"_on_{command}")(map_name, *args)
+                inspect.signature(handler).bind(map_name, *args)
             except TypeError as exc:
-                if "positional argument" in str(exc):  # arity, like Ruby's
-                    raise ProtocolError("wrong number of arguments") from exc
-                raise
+                raise ProtocolError("wrong number of arguments") from exc
+            result = handler(map_name, *args)
             return "\t".join(["OK", *[str(x) for x in (result or [])]])
         except (ProtocolError, ValueError) as exc:
             return f"ERROR\t{exc}"

@@ -216,7 +216,9 @@ def _normalize_jvm(c: Column) -> Column:
     return F.trim(F.regexp_replace(base, "\\s+", " "))
 
 
-def with_normalized(df, text_col: str, out_col: str = "norm", adaptive: bool = False):
+def with_normalized(
+    df, text_col: str, out_col: str = "norm", adaptive: bool | str = False
+):
     """Bulk normalization with a plan-level split: rows whose lowered text is
     ASCII/Latin take a branch containing NO Python node at all (the Arrow
     UDF node would otherwise round-trip every row, nulls included), and only
@@ -228,13 +230,19 @@ def with_normalized(df, text_col: str, out_col: str = "norm", adaptive: bool = F
     limit 1, column-pruned at the scan): if the input has no tier-4 rows --
     the overwhelmingly common case for real corpora -- the returned plan is
     ONE scan of pure JVM expressions with no Python node and no union at
-    all. Only use on batch inputs that are cheap to scan twice (file-backed
-    tables); the probe is an eager job, so it is illegal on streaming
-    DataFrames and wasteful on expensive computed inputs.
+    all. The probe is an eager job, so it is illegal on streaming
+    DataFrames and wasteful on expensive computed inputs; ``adaptive=
+    'auto'`` (what the engine's operators pass) probes only when the input
+    is batch AND file-backed (``df.inputFiles()`` non-empty => the second
+    scan is a cheap column-pruned file read), and otherwise falls back to
+    the lazy union plan -- so operator construction never launches a job on
+    computed inputs and never throws on streaming ones.
     """
     from blurrily_spark.config import tune_session
 
     tune_session(df.sparkSession)
+    if adaptive == "auto":
+        adaptive = (not df.isStreaming) and bool(df.inputFiles())
     c = F.lower(F.col(text_col))
     # ASCII test first: Spark's Or codegen short-circuits, so the expensive
     # ~300-char Latin class regex only ever runs on non-ASCII rows

@@ -40,9 +40,10 @@ SIMHASH_BITS = 62  # 2 x 31-bit portable hashes; fits a positive int64
 
 
 def _norm_col(df: DataFrame, text_col: str) -> DataFrame:
-    # adaptive: an all-ASCII/Latin corpus compiles to a single pure-JVM scan
-    # (no Arrow round-trip, no union) -- see tokenizer.with_normalized.
-    return with_normalized(df, text_col, "_norm", adaptive=True)
+    # 'auto': an all-ASCII/Latin *file-backed* corpus compiles to a single
+    # pure-JVM scan (no Arrow round-trip, no union); computed/streaming
+    # inputs skip the eager probe -- see tokenizer.with_normalized.
+    return with_normalized(df, text_col, "_norm", adaptive="auto")
 
 
 def exact_duplicates(

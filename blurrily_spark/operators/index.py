@@ -44,8 +44,9 @@ def prepare_needles(
     single row per ref is kept (sufficient for batch builds, which have no
     arrival order).
     """
-    # adaptive: all-ASCII/Latin batches compile to one pure-JVM scan
-    out = with_normalized(df, text_col, "norm", adaptive=True)
+    # 'auto': all-ASCII/Latin file-backed batches compile to one pure-JVM
+    # scan; computed inputs (e.g. Map._flush buffers) skip the eager probe
+    out = with_normalized(df, text_col, "norm", adaptive="auto")
     if weight_col is not None and weight_col in df.columns:
         w = F.col(weight_col).cast("int")
         out = out.withColumn(

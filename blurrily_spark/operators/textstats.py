@@ -111,6 +111,6 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     adaptive split plan, so an ASCII/Latin corpus is a single pure-JVM scan
     with no Python node (VERDICT r1 #8).
     """
-    tmp = with_normalized(df, text_col, "_norm", adaptive=True)
+    tmp = with_normalized(df, text_col, "_norm", adaptive="auto")
     fp = poly_hash(F.col("_norm"), FINGERPRINT_BASE, FINGERPRINT_MOD)
     return tmp.select(F.col(id_col), fp.alias("fingerprint"))

@@ -44,6 +44,31 @@ from blurrily_spark.operators.pairs import (
 from blurrily_spark.operators.scoring import match_edges, score_pairs
 
 
+def input_identity(df: DataFrame) -> dict:
+    """Stage-cache identity of a pipeline input.
+
+    File-backed inputs are identified by (path, size, mtime) per file --
+    path names alone would silently reuse stale stage outputs when the same
+    files are rewritten in place with different contents. Stats that cannot
+    be resolved locally (object-store URIs) degrade to the path; computed
+    inputs fall back to the logical plan's semantic hash.
+    """
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return {"semantic_hash": df.semanticHash()}
+    sigs = []
+    for uri in sorted(files):
+        local = urlparse(uri).path or uri
+        try:
+            st = os.stat(local)
+            sigs.append([uri, st.st_size, st.st_mtime_ns])
+        except OSError:
+            sigs.append([uri])
+    return {"files": sigs}
+
+
 def build_turns(transcripts: DataFrame) -> DataFrame:
     """transcripts -> turns(ref, conv_id, turn_idx, norm, weight).
 
@@ -51,7 +76,7 @@ def build_turns(transcripts: DataFrame) -> DataFrame:
     per-turn text invariant is checked against this table.
     """
     return (
-        with_normalized(transcripts, "text", "norm", adaptive=True)
+        with_normalized(transcripts, "text", "norm", adaptive="auto")
         .withColumn("ref", F.xxhash64("conv_id", "turn_idx"))
         .withColumn("weight", F.length("norm"))
         .select("ref", "conv_id", "turn_idx", "norm", "weight", "text")
@@ -149,12 +174,7 @@ class LinkagePipeline:
     # -- the dataflow ---------------------------------------------------
 
     def run(self, transcripts: DataFrame) -> DataFrame:
-        files = transcripts.inputFiles()
-        self._input_ident = (
-            {"files": sorted(files)}
-            if files
-            else {"semantic_hash": transcripts.semanticHash()}
-        )
+        self._input_ident = input_identity(transcripts)
         turns = self._load_or("turns", lambda: build_turns(transcripts))
         postings = self._load_or("postings", lambda: turns_to_postings(turns))
 

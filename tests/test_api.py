@@ -100,3 +100,23 @@ def test_map_group_isolation_and_persistence(spark, tmp_path):
     # CLEAR db (command_processor.rb:48-51)
     g2.clear("cities")
     assert g2.map("cities").find("paris") == []
+
+
+def test_load_delete_save_same_path(spark, tmp_path):
+    """Round-2 ADVICE: load(path) -> delete(ref) -> save(path) used to hit
+    Spark's 'cannot overwrite a path that is also being read from' because
+    the filtered postings lineage still read the target. save() must
+    materialize first (the reference's write-then-rename atomic save)."""
+    path = str(tmp_path / "db.trigrams")
+    m = Map(spark)
+    m.put("paris", 123)
+    m.put("london", 456)
+    m.save(path)
+
+    m2 = Map.load(spark, path)
+    m2.delete(123)
+    m2.save(path)  # same path: must not raise
+
+    m3 = Map.load(spark, path)
+    assert m3.find("paris") == []  # deleted ref is gone from the snapshot
+    assert [r[0] for r in m3.find("london")] == [456]

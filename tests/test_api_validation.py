@@ -128,3 +128,17 @@ def test_good_put_and_limited_find(proc):
     assert proc.process_command("DELETE\tdb\t12") == "OK"
     assert proc.process_command("FIND\tdb\tWhatever string\t2") == "OK"
     assert proc.process_command("CLEAR\tdb") == "OK"
+
+
+def test_internal_typeerror_propagates_not_arity_error(proc, monkeypatch):
+    """Round-2 ADVICE: arity is validated by signature bind BEFORE dispatch,
+    so a genuine TypeError raised inside a command implementation surfaces
+    as a bug instead of masquerading as 'wrong number of arguments'."""
+    from blurrily_spark import api
+
+    def boom(self, needle, ref, weight=None):
+        raise TypeError("takes 2 positional arguments but impostor given")
+
+    monkeypatch.setattr(api.Map, "put", boom)
+    with pytest.raises(TypeError, match="impostor"):
+        proc.process_command("PUT\tdb\tWhatever string\t12\t1")

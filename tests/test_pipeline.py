@@ -138,3 +138,25 @@ def test_distributed_pairwise_f1_matches_itertools(spark):
     expected = pairwise_f1(pred, {k: (v,) for k, v in truth_combined.items()})
     got = dist_f1(pdf, tdf)
     assert abs(got["f1"] - expected) < 1e-12
+
+
+def test_input_identity_tracks_file_contents(spark, tmp_path):
+    """Round-2 ADVICE: rewriting the same input files in place must change
+    the stage-cache fingerprint -- identity folds (path, size, mtime), not
+    just the path set."""
+    from blurrily_spark.plans.pipeline import input_identity
+
+    p = str(tmp_path / "t.parquet")
+    generate_transcripts(spark, n_entities=2, seed=1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    ident1 = input_identity(df)
+    assert all(len(sig) == 3 for sig in ident1["files"])  # (uri, size, mtime)
+
+    # same file names, touched contents => different identity
+    part = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+    os.utime(os.path.join(p, part), ns=(1, 1))
+    assert input_identity(spark.read.parquet(p)) != ident1
+
+    # computed (non-file-backed) inputs degrade to the plan's semantic hash
+    ident3 = input_identity(spark.createDataFrame([(1, "x")], "a int, b string"))
+    assert "semantic_hash" in ident3

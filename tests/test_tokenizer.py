@@ -191,3 +191,37 @@ def test_adaptive_with_normalized_ascii_plan_has_no_python_node(spark):
     }
     assert got["ascii only"] == "ascii only"
     assert got["日本語 text"] == normalize_py("日本語 text")
+
+
+def test_with_normalized_auto_skips_probe_on_computed_and_streaming(spark, tmp_path):
+    """Round-2 ADVICE: adaptive='auto' probes only file-backed batch inputs.
+    Computed inputs keep a lazy union plan (no eager job at operator
+    construction); streaming inputs no longer throw; file-backed ASCII
+    corpora still compile to the single pure-JVM scan."""
+    from pyspark.sql import functions as F
+
+    from blurrily_spark.functions.tokenizer import with_normalized
+
+    # computed input: construction is lazy -> the split-union plan (with the
+    # null-gated Arrow branch) is returned, proving the probe did not run
+    computed = spark.createDataFrame([("abc",)], "text string")
+    plan = with_normalized(
+        computed, "text", adaptive="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "Union" in plan
+
+    # file-backed ASCII input: the probe runs and the plan is pure JVM
+    p = str(tmp_path / "ascii.parquet")
+    computed.write.parquet(p)
+    plan2 = with_normalized(
+        spark.read.parquet(p), "text", adaptive="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan2 and "Union" not in plan2
+
+    # streaming input: operator construction must not launch a probe job
+    from blurrily_spark.operators.dedup import exact_duplicates
+    from blurrily_spark.sources.synth import TRANSCRIPTS_SCHEMA
+
+    sdf = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(str(tmp_path))
+    out = exact_duplicates(sdf, id_col="conv_id", text_col="text")
+    assert out.isStreaming
