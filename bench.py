@@ -5,13 +5,20 @@ Queries:
   q_index_build    -- full postings build over documents (tokenize+explode)
                       persisted to a snapshot (build + save, like the
                       reference's put-loop + save)
-  q_find_batch     -- 5-needle fuzzy FIND against the *stored* index (pure
-                      read path; r1 inlined the index rebuild into the find
-                      timing, which measured the build twice)
+  q_find_batch     -- 5-needle fuzzy FIND against the *stored bucketed*
+                      index (pure read path; the gather join is
+                      exchange-free on the postings side -- the cluster
+                      storage layout, see operators/index.py:
+                      save_postings_bucketed)
   q_blocking_pairs -- candidate pairs + jaccard over the pair subset
   q_connected_components -- thresholded edges -> entity labels
-  q_minhash_lsh    -- LSH near-dup pass over the dup-injected corpus
-  q_simhash        -- SimHash near-dups (threshold-derived chunk blocking)
+  q_minhash_lsh    -- LSH near-dup pass over an SF-scaled dup-injected
+                      corpus on the PRODUCTION hash family (xxhash64);
+                      the oracle-portable polynomial hash stays in the
+                      driver correctness queries only (round-2 verdict:
+                      benching the portable family measured interpreted
+                      HOF overhead, not the engine)
+  q_simhash        -- SimHash near-dups, same fast-hash SF-scaled corpus
   q_cosine_topk    -- brute-force embedding top-k
   q_ann_ivf        -- IVF ANN top-k (trained codebook; recall@5 vs brute
                       force reported as ann_recall_at5)
@@ -69,6 +76,24 @@ def _ensure_transcripts(spark) -> str:
     return path
 
 
+def _docs_with_dups_scaled(spark):
+    """SF-scaled dedup bench corpus: every document plus one 90%-truncated
+    near-duplicate (2x the SF's document count; the driver's oracle queries
+    keep their fixed 200-doc subset -- this one is for throughput)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    dups = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.col("text")
+        .substr(F.lit(1), F.floor(F.length("text") * 0.9).cast("int"))
+        .alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
 def main() -> None:
     from blurrily_spark import get_spark
 
@@ -93,18 +118,26 @@ def main() -> None:
     import shutil
     import tempfile
 
+    from blurrily_spark.operators import dedup
     from blurrily_spark.operators.find import find as find_op
+    from blurrily_spark.operators.index import save_postings_bucketed
 
     idx_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     idx_dir = tempfile.mkdtemp(prefix="blurrily_bench_idx_", dir=idx_base)
     idx_path = os.path.join(idx_dir, "postings.parquet")
+    # production build: persist in the cluster storage layout (bucketed +
+    # sorted by trigram -- the reference's 28^3-slot array re-expressed), so
+    # every downstream gather/blocking join is exchange-free on this side
     timed(
         "q_index_build",
-        lambda: em.q_index_build(spark, SF_DIR)
-        .write.mode("overwrite")
-        .parquet(idx_path),
+        lambda: save_postings_bucketed(
+            em.q_index_build(spark, SF_DIR),
+            "bench_postings_bucketed",
+            idx_path,
+            buckets=int(CPUS) if CPUS.isdigit() else 32,
+        ),
     )
-    stored = spark.read.parquet(idx_path)
+    stored = spark.table("bench_postings_bucketed")
     timed(
         "q_find_batch",
         lambda: find_op(stored, em._queries_df(spark), limit=10).count(),
@@ -114,8 +147,22 @@ def main() -> None:
         "q_connected_components",
         lambda: em.q_connected_components(spark, SF_DIR).count(),
     )
-    timed("q_minhash_lsh", lambda: em.q_minhash_lsh(spark, SF_DIR).count())
-    timed("q_simhash", lambda: em.q_simhash(spark, SF_DIR).count())
+    # sketch benches: xxhash64 family (the production path; dedup.py default
+    # 'portable' exists for DuckDB-oracle reproducibility, not throughput)
+    # over the SF-scaled corpus
+    sketch_corpus = _docs_with_dups_scaled(spark)
+    timed(
+        "q_minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(
+            sketch_corpus, num_hashes=32, bands=8, hash_fn="fast"
+        ).count(),
+    )
+    timed(
+        "q_simhash",
+        lambda: dedup.simhash_near_dups(
+            sketch_corpus, max_hamming=6, hash_fn="fast"
+        ).count(),
+    )
     timed("q_cosine_topk", lambda: em.q_cosine_topk(spark, SF_DIR).count())
     timed("q_rp_lsh_near_dups", lambda: em.q_rp_lsh_near_dups(spark, SF_DIR).count())
     timed("q_events_window", lambda: em.q_events_window(spark, SF_DIR).count())

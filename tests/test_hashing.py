@@ -72,3 +72,32 @@ def test_chunk_bounds_contract():
             )  # disjoint cover
     with pytest.raises(ValueError):
         chunk_bounds(63, 62)
+
+
+def test_simhash_packed_lane_guard_raises_on_huge_doc(spark):
+    """simhash62 packs per-bit counters 3-to-an-int64 (21-bit lanes); a
+    document beyond the 2^21-1 token bound must fail loudly, not silently
+    corrupt the fingerprint."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from blurrily_spark.operators.dedup import simhash62
+
+    # unique LETTER tokens (normalization strips digits): per-bit counts
+    # stay ~n/2 (no lane carry, no int64 overflow), so the n >= 2^21 guard
+    # itself must fire
+    def b26(i):
+        out = None
+        for d in range(5):
+            ch = F.char(F.lit(97) + F.shiftright(i, 5 * d).bitwiseAND(F.lit(31)) % 26)
+            out = ch if out is None else F.concat(out, ch)
+        return out
+
+    big = spark.range(1).select(
+        F.lit(1).alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(2_097_152)), b26), " "
+        ).alias("text"),
+    )
+    with pytest.raises(Exception, match="packed-lane counter bound"):
+        simhash62(big, hash_fn="fast").collect()
