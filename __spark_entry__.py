@@ -240,6 +240,61 @@ def q_ann_ivf_fixed(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank")
 
 
+def q_ann_ivf_invariant(spark, sf_dir):
+    """Driver-checkable IVF invariant (closes the ann_ivf_topk no_oracle gap
+    from round 2): the trained-codebook IVF top-k must EQUAL an independent
+    recomputation of "exact top-k within the probed buckets" built from the
+    engine's other codepath -- assign_buckets_df (broadcast-join codebook +
+    window argmax) instead of assign_buckets (plan-literal codebook +
+    array_position), and a window probe selection instead of the
+    reverse(array_sort(...)) probe ranking. Returns the symmetric
+    difference of the two result sets: EXPECTED EMPTY, and the DuckDB
+    oracle is the empty relation -- any disagreement (bucket assignment,
+    probe choice, scoring, or ranking drift) fails the row-count gate."""
+    corpus, q = _emb_split(spark, sf_dir)
+    corpus = corpus.cache()
+    cents = similarity.kmeans_centroids(corpus, k=ANN_K, iterations=ANN_ITERS)
+    ivf = similarity.ivf_topk(corpus, q, cents, k=5, nprobe=ANN_NPROBE).select(
+        "query_id", "vec_id", F.round("cos", 5).alias("cos"), "rank"
+    )
+
+    from pyspark.sql import Window
+
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "bucket int, cvec array<double>",
+    )
+    assigned = similarity.assign_buckets_df(corpus, cents_df)
+    # probe rule re-derived: score DESC then bucket DESC mirrors ivf_topk's
+    # reverse(array_sort(struct(s, i))) tie behavior
+    qscored = q.crossJoin(F.broadcast(cents_df)).select(
+        F.col("query_id"),
+        F.col("query_vec").alias("_qv"),
+        "bucket",
+        similarity.cosine(F.col("query_vec"), F.col("cvec")).alias("_s"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("bucket").desc()
+    )
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(pw))
+        .where(F.col("_rn") <= ANN_NPROBE)
+        .select("query_id", "_qv", "bucket")
+    )
+    scored = assigned.join(F.broadcast(probes), "bucket").select(
+        "query_id", "vec_id", similarity.cosine(F.col("_v"), F.col("_qv")).alias("_cos")
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+    expected = (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", F.round("_cos", 5).alias("cos"), "rank")
+    )
+    return ivf.exceptAll(expected).unionByName(expected.exceptAll(ivf))
+
+
 def _emb_with_dups(spark, sf_dir):
     """Embedding subset + one injected near-duplicate per vector:
     dup = v + 0.05 * rotate(v, 1), all in double -- cos(v, dup) ~ 0.9987,
@@ -362,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_fixed": q_ann_ivf_fixed,
+        "ann_ivf_invariant": q_ann_ivf_invariant,
         "cosine_near_dups": q_cosine_near_dups,
         "rp_lsh_near_dups": q_rp_lsh_near_dups,
         "events_window_agg": q_events_window,
@@ -616,6 +672,13 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5"""
+
+    # ann_ivf_invariant: the Spark side returns IVF-vs-independent-recompute
+    # disagreements, so the oracle is the EMPTY relation with the same
+    # schema -- any violation row fails the driver's row-count compare.
+    out["ann_ivf_invariant"] = """SELECT CAST(NULL AS BIGINT) AS query_id,
+  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS cos,
+  CAST(NULL AS INTEGER) AS rank WHERE 1 = 0"""
 
     # --- embedding near-dups: injected-dup corpus shared by both queries ---
     emb_corpus = f"""ve AS (
