@@ -47,8 +47,78 @@ def test_video_frame_fanout(spark):
         assert sorted(x["frame_idx"] for x in by_vid[vid]) == list(range(expected))
 
 
-def test_real_codec_seam_raises(spark):
-    media = generate_media(spark, n=6, seed=3)
+def test_ppm_roundtrip_bytes_exact():
+    import numpy as np
+
+    from blurrily_spark.sources.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    w, h, got = decode_ppm(encode_ppm(px))
+    assert (w, h) == (64, 48)
+    assert (got == px).all()
+    # header grammar: comments between tokens
+    with_comment = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    w, h, got = decode_ppm(with_comment)
+    assert (w, h, got.shape) == (2, 1, (1, 2, 3))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 1\n255\n" + bytes(2))
+
+
+def test_wav_roundtrip_samples_exact():
+    import numpy as np
+
+    from blurrily_spark.sources.multimodal import decode_wav, encode_wav
+
+    samples = (np.arange(-500, 500, dtype=np.int16) * 33).astype(np.int16)
+    rate, got = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000
+    assert (got == samples).all()
+
+
+def test_real_image_decode_end_to_end(spark):
+    """real=True over real PPM payloads: width/height come from the decoded
+    header and the embedding is the grid-pooled grayscale of the actual
+    pixels (cross-checked against a local numpy decode)."""
+    import numpy as np
+
+    from blurrily_spark.sources.multimodal import _image_embedding, decode_ppm
+
+    media = generate_media(spark, n=12, seed=3, codec="real")
+    rows = {r["media_id"]: r for r in decode_image_features(media, real=True).collect()}
+    metas = {r["media_id"]: (r["meta"], bytes(r["payload"]))
+             for r in media.where("kind = 'image'").collect()}
+    assert set(rows) == set(metas)
+    for mid, (meta, payload) in metas.items():
+        assert rows[mid]["width"] == meta["width"]
+        assert rows[mid]["height"] == meta["height"]
+        _, _, px = decode_ppm(payload)
+        expected = _image_embedding(px)
+        assert np.allclose(rows[mid]["embedding"], expected)
+
+
+def test_real_audio_decode_end_to_end(spark):
+    import numpy as np
+
+    from blurrily_spark.sources.multimodal import _audio_energies, decode_wav
+
+    media = generate_media(spark, n=12, seed=3, codec="real")
+    rows = {r["media_id"]: r for r in decode_audio_features(media, real=True).collect()}
+    for r in media.where("kind = 'audio'").collect():
+        got = rows[r["media_id"]]
+        # duration re-derived from the real frame count (1 ms quantization)
+        assert abs(got["duration_ms"] - r["meta"]["duration_ms"]) <= 1
+        _, samples = decode_wav(bytes(r["payload"]))
+        assert np.allclose(got["mfcc"], _audio_energies(samples))
+
+
+def test_remaining_real_seams(spark):
+    """Video demuxing is the one remaining declared seam (needs ffmpeg);
+    real image decode on a non-PPM payload fails loudly."""
+    media = generate_media(spark, n=6, seed=3)  # fake payloads
+    with pytest.raises(Exception) as exc:
+        sample_video_frames(media, real=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "ffmpeg" in str(exc.value)
     with pytest.raises(Exception) as exc:
         decode_image_features(media, real=True).collect()
-    assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+    assert "PPM" in str(exc.value)
