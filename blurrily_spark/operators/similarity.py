@@ -172,13 +172,26 @@ def maxmin_centroids(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_seed_scan: int = 100_000,
 ) -> list[list[float]]:
     """Deterministic farthest-first (maxmin) seeding: start from the
     lowest-id vector, then repeatedly take the vector with the smallest
     maximum cosine to any chosen seed (ties -> lowest id). The k-means++
     idea without its randomness, so both scaling runs and the test oracle
     share a codebook. k driver-side jobs of one distributed argmin each.
+
+    Seeding quality does not need the full corpus, and k full scans would
+    dominate codebook training at 100 TB: when the corpus exceeds
+    ``max_seed_scan`` rows, the k argmin scans run over a deterministic
+    hash-sample of ~max_seed_scan vectors (``pmod(xxhash64(id), m) = 0`` --
+    partitioning-independent, so every run and parallelism level draws the
+    SAME sample, unlike ``DataFrame.sample``). Lloyd iterations in
+    :func:`kmeans_centroids` (the quality driver) stay full-corpus.
     """
+    n = corpus.count()
+    if n > max_seed_scan:
+        m = n // max_seed_scan + 1
+        corpus = corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
     first = (
         corpus.orderBy(F.col(id_col).asc()).limit(1).select(vec_col).collect()[0][0]
     )

@@ -97,3 +97,42 @@ def test_maxmin_seeding_deterministic(spark, emb):
     b = similarity.maxmin_centroids(corpus, 4)
     assert a == b
     assert len(a) == 4 and len(set(map(tuple, a))) == 4  # distinct seeds
+
+
+def test_maxmin_sampled_seeding_deterministic_and_recall(spark, emb):
+    """Sample-first seeding: forcing the hash-sample path (tiny
+    max_seed_scan) must stay deterministic across invocations and keep the
+    shipped recall gate -- seeding quality, not seeding coverage, drives
+    codebook quality (the Lloyd iterations stay full-corpus)."""
+    import __spark_entry__ as em
+    from blurrily_spark.operators import similarity
+
+    corpus = emb.where(F.col("vec_id") >= 8)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    seeds1 = similarity.maxmin_centroids(corpus, k=em.ANN_K, max_seed_scan=50)
+    seeds2 = similarity.maxmin_centroids(corpus, k=em.ANN_K, max_seed_scan=50)
+    assert seeds1 == seeds2  # hash-sample is partitioning-independent
+
+    # full kmeans (shipped iteration count) with the sampled seeding still
+    # meets the recall gate
+    cents = seeds1
+    for _ in range(em.ANN_ITERS):
+        assigned = similarity.assign_buckets(corpus, cents)
+        means = (
+            assigned.select("bucket", F.posexplode("_v").alias("dim", "val"))
+            .groupBy("bucket", "dim").agg(F.avg("val").alias("m")).collect()
+        )
+        by_b = {}
+        for r in means:
+            by_b.setdefault(r["bucket"], {})[r["dim"]] = r["m"]
+        cents = [
+            [by_b[b][i] for i in range(len(old))] if b in by_b else old
+            for b, old in enumerate(cents)
+        ]
+    bf = {(r["query_id"], r["vec_id"])
+          for r in similarity.cosine_topk(corpus, q, k=5).collect()}
+    got = {(r["query_id"], r["vec_id"])
+           for r in similarity.ivf_topk(corpus, q, cents, k=5, nprobe=em.ANN_NPROBE).collect()}
+    assert len(got & bf) / len(bf) >= 0.9
