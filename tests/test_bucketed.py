@@ -70,3 +70,31 @@ def test_bucketed_gather_join_has_no_postings_shuffle(spark, tmp_path):
         if re.search(r"\bExchange hashpartitioning", ln)
     ]
     assert len(non_broadcast_exchanges) <= 1  # just the final groupBy
+
+
+def test_find_against_bucketed_table_plan(spark, tmp_path):
+    """The bench's FIND path: operators.find against the bucketed stored
+    index must broadcast the needle side and read postings straight off the
+    bucketed scan -- the only hash exchange anywhere is the aggregate's."""
+    import re
+
+    from blurrily_spark.operators.find import find
+
+    save_postings_bucketed(
+        _postings(spark), "postings_bucketed_t3", str(tmp_path / "pb3"), buckets=8
+    )
+    t = spark.table("postings_bucketed_t3")
+    queries = spark.createDataFrame(
+        [(1, "key agg row scan"), (2, "custmer order")],
+        "query_id long, needle string",
+    )
+    out = find(t, queries, limit=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every hash exchange must be post-join and keyed by query_id (the agg
+    # and the ranking window, both result-sized); the postings themselves
+    # are never shuffled
+    for ln in plan.splitlines():
+        if re.search(r"\bExchange hashpartitioning", ln):
+            assert "query_id" in ln, ln
+    assert out.count() > 0
