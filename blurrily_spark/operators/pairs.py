@@ -41,6 +41,7 @@ def candidate_pairs(
     min_matches: int = 1,
     max_df: int | None = None,
     salt_buckets: int | None = None,
+    keys_only: bool = False,
 ) -> DataFrame:
     """All candidate pairs sharing >= min_matches trigrams.
 
@@ -49,8 +50,19 @@ def candidate_pairs(
     identical to what FIND would report for either record queried against
     the other (modulo the query side's own tokenization, which for stored
     records is the same tokenizer).
+
+    ``keys_only=True`` returns just the DISTINCT ``(ref_a, ref_b)`` set --
+    the two-phase blocking contract, where :func:`rescore_pairs_exact`
+    recomputes matches/jaccard/weights exactly anyway: the pair-dedup
+    shuffle (the dominant shuffle of the linkage pipeline) then carries two
+    longs per collision instead of two longs plus a count and two weight
+    aggregation buffers. Requires ``min_matches == 1`` (phase 1 cannot
+    threshold a count it does not compute).
     """
-    p = postings.select("trigram", "ref", "weight")
+    if keys_only and min_matches > 1:
+        raise ValueError("keys_only candidate generation cannot apply min_matches")
+    cols = ["trigram", "ref"] if keys_only else ["trigram", "ref", "weight"]
+    p = postings.select(*cols)
     if max_df is not None:
         keep = trigram_df_counts(p).where(F.col("df") <= max_df).select("trigram")
         # keep is bounded by the 28^3 key space -> broadcast, never a shuffle
@@ -59,12 +71,12 @@ def candidate_pairs(
     left = p.select(
         "trigram",
         F.col("ref").alias("ref_a"),
-        F.col("weight").alias("weight_a"),
+        *([] if keys_only else [F.col("weight").alias("weight_a")]),
     )
     right = p.select(
         "trigram",
         F.col("ref").alias("ref_b"),
-        F.col("weight").alias("weight_b"),
+        *([] if keys_only else [F.col("weight").alias("weight_b")]),
     )
 
     if salt_buckets and salt_buckets > 1:
@@ -78,6 +90,9 @@ def candidate_pairs(
         join_keys = ["trigram"]
 
     joined = left.join(right, join_keys).where(F.col("ref_a") < F.col("ref_b"))
+
+    if keys_only:
+        return joined.select("ref_a", "ref_b").dropDuplicates(["ref_a", "ref_b"])
 
     pairs = joined.groupBy("ref_a", "ref_b").agg(
         F.count(F.lit(1)).alias("matches"),

@@ -192,6 +192,10 @@ class LinkagePipeline:
                     min_matches=1,
                     max_df=max_df,
                     salt_buckets=self.config["salt_buckets"],
+                    # phase 2 recomputes matches/weights exactly, so phase 1
+                    # ships bare (ref_a, ref_b) through the pair-dedup
+                    # shuffle -- the pipeline's dominant shuffle
+                    keys_only=True,
                 )
                 recs = add_trigrams(
                     turns.select("ref", "norm", "weight"), "norm", "trigrams"

@@ -144,3 +144,24 @@ def test_capped_blocking_recall_on_near_dups(spark):
             for r in candidate_pairs(postings).collect()}
     assert (1, 2) in rescored
     assert rescored[(1, 2)] == full[(1, 2)]  # exact matches restored
+
+
+def test_keys_only_candidates_match_full(spark):
+    """keys_only candidate generation returns exactly the distinct pair set
+    of the full path (what two-phase rescoring consumes)."""
+    import pytest
+
+    from blurrily_spark.operators.index import build_postings
+    from blurrily_spark.operators.pairs import candidate_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = build_postings(docs, text_col="text", ref_col="doc_id", weight_col=None).cache()
+    full = {(r["ref_a"], r["ref_b"])
+            for r in candidate_pairs(p, max_df=16).collect()}
+    keys = candidate_pairs(p, max_df=16, keys_only=True)
+    assert keys.columns == ["ref_a", "ref_b"]
+    got = {(r["ref_a"], r["ref_b"]) for r in keys.collect()}
+    assert got == full
+    with pytest.raises(ValueError):
+        candidate_pairs(p, min_matches=2, keys_only=True)
+    p.unpersist()
