@@ -350,14 +350,20 @@ def rp_lsh_near_dup_pairs(
     ).select("id", "_v", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
     a = chunks.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "chunk", "ckey")
     b = chunks.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "chunk", "ckey")
-    cand = (
+    # cosine rescore + threshold BEFORE the pair dedup: the cosine is a pure
+    # function of the pair (identical on every chunk collision of the same
+    # pair, so filter/dedup commute), and scoring per collision row is a few
+    # hundred FLOPs while deduplicating first would shuffle both full
+    # embedding vectors per collision -- the dedup then carries 24 bytes per
+    # QUALIFYING pair instead of ~2*dim*4 bytes per raw collision (the same
+    # shuffle-narrowing as dedup.simhash_near_dups).
+    return (
         a.join(b, ["chunk", "ckey"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos")
-    ).where(F.col("cos") >= threshold)
 
 
 def take_centroids(
