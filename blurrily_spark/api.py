@@ -292,9 +292,8 @@ class CommandProcessor:
 
     One tab-separated request line in, one ``OK\\t...`` / ``ERROR\\t<msg>``
     line out; FIND results are flattened (ref, matches, weight) triples.
-    The TCP accept loop (C6) stays out of scope by design (SURVEY.md §2.5:
-    the engine's entry point is spark-submit, not a socket) -- this class
-    is exactly the protocol layer such a server would wrap.
+    The TCP accept loop (C6) lives in ``blurrily_spark.server`` and wraps
+    this class; the batch entry point remains spark-submit (north rule).
     """
 
     COMMANDS = ("FIND", "PUT", "DELETE", "CLEAR")
