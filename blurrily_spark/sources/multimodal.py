@@ -8,13 +8,13 @@ modes:
   payload bytes -- schema-identical, runs on any payload, used by the
   driver queries so results never depend on payload format;
 * ``real=True``: REAL dependency-free decoders -- binary PPM (P6) for
-  images (:func:`decode_ppm`) and RIFF/WAVE PCM16 for audio
-  (:func:`decode_wav`, stdlib ``wave``) -- with real feature kernels
-  (grid-pooled grayscale means for images, windowed RMS energies for
-  audio). Video frame sampling remains the one declared seam
-  (``NotImplementedError``: container demuxing genuinely needs ffmpeg);
-  a production deployment swaps only the per-format kernel, every
-  DataFrame shape stays identical.
+  images (:func:`decode_ppm`), RIFF/WAVE PCM16 for audio
+  (:func:`decode_wav`, stdlib ``wave``) and YUV4MPEG2 (Y4M, mono
+  colorspace) for video (:func:`decode_y4m`) -- with real feature kernels
+  (grid-pooled grayscale means for images and frames, windowed RMS
+  energies for audio). Compressed containers (h264/mp4/ogg) remain out of
+  scope -- demuxing them genuinely needs ffmpeg; a production deployment
+  swaps only the per-format kernel, every DataFrame shape stays identical.
 """
 
 from __future__ import annotations
@@ -69,9 +69,9 @@ def generate_media(
 
     ``codec='fake'``: payload = seeded pseudo-random bytes (any shape works
     for the fake decode). ``codec='real'``: image payloads are REAL binary
-    PPMs and audio payloads REAL PCM16 WAVs (both seeded-deterministic), so
-    the ``real=True`` decode path runs end-to-end; video payloads stay
-    opaque (the declared ffmpeg seam).
+    PPMs, audio payloads REAL PCM16 WAVs, and video payloads REAL
+    YUV4MPEG2 (Y4M mono) streams -- all seeded-deterministic, so the
+    ``real=True`` decode path runs end-to-end on every modality.
     """
     rows = []
     kinds = ["image", "audio", "video"]
@@ -90,13 +90,19 @@ def generate_media(
             payload = encode_wav(
                 rng.integers(-32768, 32768, size=n_samples, dtype=np.int16), 16000
             )
+        elif codec == "real" and kind == "video":
+            n_frames = max(1, 25 * duration_ms // 1000)
+            payload = encode_y4m(
+                rng.integers(0, 256, size=(n_frames, height, width), dtype=np.uint8),
+                fps=(25, 1),
+            )
         else:
             payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 8  # 256 B
         meta = {
             "width": width,
             "height": height,
             "duration_ms": duration_ms,
-            "codec": {"image": "ppm", "audio": "pcm16", "video": "h264"}[kind]
+            "codec": {"image": "ppm", "audio": "pcm16", "video": "y4m"}[kind]
             if codec == "real"
             else {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
             "sample_rate": 16000 if kind == "audio" else None,
@@ -173,10 +179,69 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, frames
 
 
-def _image_embedding(pixels: np.ndarray, dim: int = _EMB_DIM) -> np.ndarray:
-    """Real image feature: 4x4 grid-pooled grayscale means in [0, 1]."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """uint8 grayscale frames (n, h, w) -> YUV4MPEG2 stream (Cmono).
+
+    Y4M is the uncompressed interchange format of the mjpegtools suite
+    (also read/written by ffmpeg): a text stream header, then one
+    ``FRAME\\n`` marker + raw plane bytes per frame. ``Cmono`` carries the
+    luma plane only, so a frame is exactly ``h*w`` bytes.
+    """
+    n, h, w = frames.shape
+    assert frames.dtype == np.uint8
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, fps[0], fps[1])
+    return head + b"".join(
+        b"FRAME\n" + frames[i].tobytes() for i in range(n)
+    )
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
+    """YUV4MPEG2 (Cmono) -> (width, height, (fps_num, fps_den),
+    uint8 frames (n, h, w)). Raises ValueError on anything else --
+    compressed containers need ffmpeg and are out of scope by design."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    width = height = None
+    fps = (25, 1)
+    colorspace = "420jpeg"  # the Y4M default when C is absent
+    for tag in payload[9:nl].split():
+        key, val = tag[:1], tag[1:].decode()
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif key == b"C":
+            colorspace = val
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "mono":
+        raise ValueError(f"only Cmono Y4M is supported, got C{colorspace}")
+    frame_bytes = width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        pos = fnl + 1
+        raw = payload[pos : pos + frame_bytes]
+        if len(raw) != frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(raw, dtype=np.uint8).reshape(height, width))
+        pos += frame_bytes
+    return width, height, fps, np.stack(frames) if frames else np.empty(
+        (0, height, width), dtype=np.uint8
+    )
+
+
+def _gray_embedding(gray: np.ndarray, dim: int = _EMB_DIM) -> np.ndarray:
+    """Grid-pooled means of a grayscale plane, in [0, 1]."""
     h, w = gray.shape
+    gray = gray.astype(np.float64)
     g = int(np.sqrt(dim))
     cells = [
         gray[h * r // g : h * (r + 1) // g, w * c // g : w * (c + 1) // g].mean()
@@ -184,6 +249,11 @@ def _image_embedding(pixels: np.ndarray, dim: int = _EMB_DIM) -> np.ndarray:
         for c in range(g)
     ]
     return (np.array(cells) / 255.0).astype(np.float32)
+
+
+def _image_embedding(pixels: np.ndarray, dim: int = _EMB_DIM) -> np.ndarray:
+    """Real image feature: 4x4 grid-pooled grayscale means in [0, 1]."""
+    return _gray_embedding(pixels.astype(np.float64).mean(axis=2), dim)
 
 
 def _audio_energies(samples: np.ndarray, dim: int = _EMB_DIM) -> np.ndarray:
@@ -288,20 +358,34 @@ def sample_video_frames(
     """video rows -> one row per sampled frame (media_id, frame_idx,
     frame_ms, frame-embedding).
 
+    ``real=True`` demuxes YUV4MPEG2 payloads (:func:`decode_y4m`), picks
+    the frame nearest each ``every_ms`` timestamp from the stream's own
+    frame rate, and embeds the actual luma plane. Duration comes from the
+    real frame count, not the metadata column. Compressed containers
+    (h264 etc.) raise ValueError -- demuxing them needs ffmpeg.
+
     The fan-out (rows-per-frame) happens inside the Arrow batch, so a long
     video never materializes as one giant row downstream.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
             out: dict[str, list] = {
                 "media_id": [], "frame_idx": [], "frame_ms": [], "frame": []
             }
             for _, row in pdf.iterrows():
-                duration = row["meta"]["duration_ms"] or 0
                 payload = bytes(row["payload"])
+                if real:
+                    _, _, (num, den), frames = decode_y4m(payload)
+                    duration = int(len(frames) * 1000 * den / num)
+                    for idx, ms in enumerate(range(0, duration, every_ms)):
+                        src = min(int(round(ms * num / (1000 * den))), len(frames) - 1)
+                        out["media_id"].append(row["media_id"])
+                        out["frame_idx"].append(idx)
+                        out["frame_ms"].append(ms)
+                        out["frame"].append(_gray_embedding(frames[src]).tolist())
+                    continue
+                duration = row["meta"]["duration_ms"] or 0
                 for idx, ms in enumerate(range(0, duration, every_ms)):
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(idx)

@@ -112,13 +112,56 @@ def test_real_audio_decode_end_to_end(spark):
         assert np.allclose(got["mfcc"], _audio_energies(samples))
 
 
-def test_remaining_real_seams(spark):
-    """Video demuxing is the one remaining declared seam (needs ffmpeg);
-    real image decode on a non-PPM payload fails loudly."""
+def test_y4m_roundtrip_frames_exact():
+    import numpy as np
+
+    from blurrily_spark.sources.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(7, 24, 32), dtype=np.uint8)
+    w, h, fps, got = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert (w, h, fps) == (32, 24, (30, 1))
+    assert (got == frames).all()
+    # only mono colorspace is supported; compressed containers refused
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\nFRAME\n" + bytes(6))
+    with pytest.raises(ValueError):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_real_video_decode_end_to_end(spark):
+    """real=True demuxes Y4M payloads: duration from the real frame count,
+    embeddings from the actual luma planes (cross-checked locally)."""
+    import numpy as np
+
+    from blurrily_spark.sources.multimodal import _gray_embedding, decode_y4m
+
+    media = generate_media(spark, n=12, seed=3, codec="real")
+    rows = sample_video_frames(media, every_ms=400, real=True).collect()
+    by_vid: dict[int, list] = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    vids = {r["media_id"]: bytes(r["payload"])
+            for r in media.where("kind = 'video'").collect()}
+    assert set(by_vid) == set(vids)
+    for mid, payload in vids.items():
+        _, _, (num, den), frames = decode_y4m(payload)
+        duration = int(len(frames) * 1000 * den / num)
+        sampled = sorted(by_vid[mid], key=lambda r: r["frame_idx"])
+        assert len(sampled) == len(range(0, duration, 400))
+        for idx, r in enumerate(sampled):
+            ms = idx * 400
+            src = min(int(round(ms * num / (1000 * den))), len(frames) - 1)
+            assert np.allclose(r["frame"], _gray_embedding(frames[src]))
+
+
+def test_real_decode_on_foreign_payloads_fails_loudly(spark):
+    """real=True on non-PPM / non-Y4M payloads raises a clear error --
+    compressed containers are the declared ffmpeg seam."""
     media = generate_media(spark, n=6, seed=3)  # fake payloads
     with pytest.raises(Exception) as exc:
         sample_video_frames(media, real=True).collect()
-    assert "NotImplementedError" in str(exc.value) or "ffmpeg" in str(exc.value)
+    assert "YUV4MPEG2" in str(exc.value)
     with pytest.raises(Exception) as exc:
         decode_image_features(media, real=True).collect()
     assert "PPM" in str(exc.value)
