@@ -39,6 +39,7 @@ PAIR_SUBSET = 100  # doc_id < 100 for quadratic pair oracles
 CC_THRESHOLD = 0.6
 DUP_OFFSET = 1_000_000  # synthetic near-dup ids = doc_id + offset
 NGRAM_THRESHOLD = 0.5
+NEARDUP_EST_J = 0.5
 SIMHASH_MAX_HAMMING = 6
 MINHASH_PARAMS = dedup._permutation_params(32, seed=7)
 IVF_FIXED_K = 8     # fixed-codebook IVF (take_centroids): full DuckDB oracle
@@ -171,6 +172,11 @@ def q_minhash_sigs(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     out = dedup.minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), num_hashes=32, bands=8)
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_near_dedup(spark, sf_dir):
+    # LSH candidates -> CC over the dup graph -> canonical keeper per doc
+    return dedup.near_dedup(_docs_with_dups(spark, sf_dir), threshold=NEARDUP_EST_J)
 
 
 def q_simhash_fp(spark, sf_dir):
@@ -408,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_signatures": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh,
+        "near_dedup": q_near_dedup,
         "simhash_fingerprints": q_simhash_fp,
         "simhash_near_dups": q_simhash,
         "token_count": q_token_count,
@@ -521,6 +528,17 @@ FROM hay_sig, (SELECT unnest(range(1, 33)) AS j) t"""
     out["minhash_lsh_pairs"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
 {oracle.minhash_ctes('hay', MINHASH_PARAMS)}
 {oracle.lsh_pairs_sql('hay', num_hashes=32, bands=8)}"""
+
+    out["near_dedup"] = f"""WITH RECURSIVE {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.minhash_ctes('hay', MINHASH_PARAMS)},
+cand AS ({oracle.lsh_pairs_sql('hay', num_hashes=32, bands=8)}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand WHERE est_jaccard >= {NEARDUP_EST_J}),
+{oracle.cc_walk_ctes('edges')},
+comp AS (SELECT node, CAST(min(label) AS BIGINT) AS keep FROM walk GROUP BY node)
+SELECT n.ref AS id,
+       CAST(coalesce(c.keep, n.ref) AS BIGINT) AS keep_id,
+       CAST(CASE WHEN coalesce(c.keep, n.ref) <> n.ref THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM hay_norm n LEFT JOIN comp c ON c.node = n.ref"""
 
     out["simhash_fingerprints"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
 {oracle.simhash_ctes('hay')}

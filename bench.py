@@ -18,6 +18,8 @@ Queries:
                       driver correctness queries only (round-2 verdict:
                       benching the portable family measured interpreted
                       HOF overhead, not the engine)
+  q_near_dedup     -- end-to-end retained-corpus dedup (LSH -> CC -> keeper
+                      flags) on the same fast-hash SF-scaled corpus
   q_simhash        -- SimHash near-dups, same fast-hash SF-scaled corpus
   q_cosine_topk    -- brute-force embedding top-k
   q_ann_ivf        -- IVF ANN top-k (trained codebook; recall@5 vs brute
@@ -156,6 +158,12 @@ def main() -> None:
         lambda: dedup.minhash_lsh_pairs(
             sketch_corpus, num_hashes=32, bands=8, hash_fn="fast"
         ).count(),
+    )
+    timed(
+        "q_near_dedup",
+        lambda: dedup.near_dedup(sketch_corpus, hash_fn="fast")
+        .where("is_dup = 1")
+        .count(),
     )
     timed(
         "q_simhash",

@@ -211,27 +211,33 @@ FROM (
 WHERE {band_eq}"""
 
 
+def cc_walk_ctes(edges: str = "edges") -> str:
+    """Recursive min-label-propagation CTEs over an ``{edges}(src, dst)``
+    CTE. Aggregate ``walk`` with ``min(label) GROUP BY node`` to read the
+    component labels (exact oracle at test scale)."""
+    return f"""nodes AS (
+  SELECT DISTINCT ref FROM (
+    SELECT src AS ref FROM {edges} UNION ALL SELECT dst AS ref FROM {edges}
+  )
+),
+undirected AS (
+  SELECT src, dst FROM {edges} UNION SELECT dst AS src, src AS dst FROM {edges}
+),
+walk(node, label) AS (
+  SELECT ref, ref FROM nodes
+  UNION
+  SELECT u.dst, w.label FROM walk w JOIN undirected u ON u.src = w.node
+)"""
+
+
 def cc_sql(table_sql: str, ref: str, text: str, threshold: float) -> str:
-    """Connected components over thresholded match edges, via a recursive
-    min-label-propagation CTE (exact oracle at test scale)."""
+    """Connected components over thresholded match edges."""
     return f"""WITH RECURSIVE {norm_cte('hay', table_sql, ref, text)},
 {trigram_ctes('hay')},
 {pairs_ctes('hay')},
 edges AS (
   SELECT ref_a AS src, ref_b AS dst FROM pairs WHERE jaccard >= {threshold}
 ),
-nodes AS (
-  SELECT DISTINCT ref FROM (
-    SELECT src AS ref FROM edges UNION ALL SELECT dst AS ref FROM edges
-  )
-),
-undirected AS (
-  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
-),
-walk(node, label) AS (
-  SELECT ref, ref FROM nodes
-  UNION
-  SELECT u.dst, w.label FROM walk w JOIN undirected u ON u.src = w.node
-)
+{cc_walk_ctes('edges')}
 SELECT node AS ref, CAST(min(label) AS BIGINT) AS entity_id
 FROM walk GROUP BY node"""

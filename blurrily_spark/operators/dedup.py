@@ -286,6 +286,50 @@ def minhash_lsh_pairs(
     return lsh_pairs_between(banded, banded, num_hashes, bands)
 
 
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """End-to-end near-duplicate corpus dedup -- the retained-corpus face
+    of MinHash LSH: candidate pairs from banded signatures, filtered at
+    ``est_jaccard >= threshold``, connected components over the resulting
+    dup graph, smallest id per component elected canonical.
+
+    Returns one row per input document: ``(id, keep_id, is_dup)``;
+    ``WHERE is_dup = 0`` is the deduplicated corpus, ``keep_id`` maps every
+    duplicate to its kept representative (transitively: a~b, b~c collapse
+    into one cluster even if a~c never collided).
+
+    Scale shape: the banding equi-join is linear in colliding docs (never
+    all-pairs); CC iterates large-star/small-star over the dup graph only
+    (tiny relative to the corpus); one final left join paints keepers back
+    over the full corpus. Nothing is materialized on the driver.
+    """
+    from blurrily_spark.operators.cluster import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, w, num_hashes, bands, seed, hash_fn
+    )
+    edges = pairs.where(F.col("est_jaccard") >= threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comps = connected_components(edges).withColumnRenamed("ref", "id")
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    keep = F.coalesce("entity_id", F.col("id"))
+    return ids.join(comps, "id", "left").select(
+        "id",
+        keep.alias("keep_id"),
+        (keep != F.col("id")).cast("int").alias("is_dup"),
+    )
+
+
 def _token_hashes(df_tok: DataFrame, hash_fn: str) -> DataFrame:
     """Adds 62 bit sources: columns h1 (bits 0..30) and h2 (bits 31..61)."""
     if hash_fn == "fast":

@@ -1,0 +1,55 @@
+"""near_dedup: end-to-end retained-corpus semantics (LSH -> CC -> keeper).
+
+Exactness vs the DuckDB re-derivation is covered by the parametrized
+entry-oracle gate (tests/test_entry_oracle.py::test_query_matches_oracle
+[near_dedup]); this file pins the operator's semantics on crafted data."""
+
+from __future__ import annotations
+
+from blurrily_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong coffee behind the old stone bridge at dawn every single day"
+)
+UNIQUE = (
+    "completely unrelated payload about spark physical plans adaptive "
+    "execution shuffle partitions and broadcast joins in a columnar engine"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE[: int(len(BASE) * 0.9)]),   # near-dup of 1
+        (3, BASE[: int(len(BASE) * 0.8)]),   # near-dup of 1 and 2
+        (4, UNIQUE),                          # singleton
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dedup_clusters_and_keepers(spark):
+    out = {r["id"]: r for r in dedup.near_dedup(_corpus(spark)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the whole near-dup chain collapses onto the smallest id
+    assert out[1]["keep_id"] == 1 and out[1]["is_dup"] == 0
+    assert out[2]["keep_id"] == 1 and out[2]["is_dup"] == 1
+    assert out[3]["keep_id"] == 1 and out[3]["is_dup"] == 1
+    # singletons keep themselves
+    assert out[4]["keep_id"] == 4 and out[4]["is_dup"] == 0
+
+
+def test_near_dedup_retained_corpus(spark):
+    docs = _corpus(spark)
+    flags = dedup.near_dedup(docs)
+    kept = docs.join(
+        flags.where("is_dup = 0").withColumnRenamed("id", "doc_id").select("doc_id"),
+        "doc_id",
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+
+
+def test_near_dedup_threshold_one_keeps_everything(spark):
+    # est_jaccard never reaches 1.0 for the truncated dups at threshold > max
+    out = dedup.near_dedup(_corpus(spark), threshold=1.01)
+    assert [r["is_dup"] for r in out.collect()] == [0, 0, 0, 0]
