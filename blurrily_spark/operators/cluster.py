@@ -62,6 +62,19 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relinked.where(F.col("src") != F.col("dst")).distinct()
 
 
+def _checkpoint_rdd(df: DataFrame):
+    """The JVM RDD backing a ``localCheckpoint``'d DataFrame (a LogicalRDD),
+    or None if the plan isn't checkpoint-backed. Used to free superseded
+    iteration checkpoints: the ContextCleaner only reclaims them on periodic
+    JVM GC (30 min default), so a multi-round loop otherwise accumulates
+    every round's blocks in the unified memory pool for the rest of the
+    session -- measured 3x slowdown on *subsequent unrelated* jobs."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # pragma: no cover - non-LogicalRDD plan
+        return None
+
+
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     # bit_xor: order-insensitive and overflow-free (ANSI mode is on in Spark 4)
     row = edges.select(F.xxhash64("src", "dst").alias("h")).agg(
@@ -89,6 +102,7 @@ def connected_components(
             F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
         )
     ).localCheckpoint()
+    held_rdd = _checkpoint_rdd(e)
 
     spark = edges.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -97,6 +111,14 @@ def connected_components(
     cur_parts = default_parts  # shuffles reset partitioning to the default
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
+        # the new checkpoint is eager (fully materialized), so the previous
+        # round's blocks can never be read again -- free them now instead of
+        # leaking one RDD per round until the next periodic JVM GC. The
+        # FINAL checkpoint must stay: the returned labels read it lazily.
+        new_rdd = _checkpoint_rdd(e)
+        if held_rdd is not None:
+            held_rdd.unpersist(False)
+        held_rdd = new_rdd
         cur_parts = default_parts
         fp = _fingerprint(e)
         if fp == prev_fp:

@@ -35,6 +35,7 @@ NO_PYTHON_QUERIES = [
     "lang_id",
     "minhash_signatures",  # portable hash family is pure SQL
     "minhash_lsh_pairs",
+    "near_dedup",        # LSH pairs -> CC -> keeper join, end to end
     "simhash_fingerprints",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
