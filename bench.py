@@ -112,10 +112,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # Best-of-TRIALS per query: this host is multi-tenant and a co-tenant
+    # CPU burst can inflate any single query 3-5x (observed q_minhash_lsh
+    # 6s steady-state vs 50s during a burst, with every other query in the
+    # same run normal). Min-of-2 reports engine cost, not tenancy luck;
+    # the JSON carries "trials" so rounds stay comparable.
+    TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(TRIALS):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     import shutil
     import tempfile
@@ -205,28 +216,37 @@ def main() -> None:
     tpath = _ensure_transcripts(spark)
     transcripts = spark.read.parquet(tpath)
     wd_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    workdir = tempfile.mkdtemp(prefix="blurrily_bench_wd_", dir=wd_base)
     try:
-        pipe = LinkagePipeline(
-            spark,
-            workdir,
-            jaccard_threshold=0.55,
-            min_matches=3,
-            max_df=64,  # two-phase blocking: capped generation + exact rescoring
-        )
-        t0 = time.time()
-        pipe.run(transcripts).count()
-        timings["q_linkage_pipeline"] = round(time.time() - t0, 3)
-        n_pairs = pipe.metrics.get("pairs", {}).get("rows") or 0
+        # fresh workdir per trial: a reused workdir would hit the pipeline's
+        # stage-resume cache and time a no-op; best trial's metrics are kept
+        best_wall, best_metrics = None, None
+        for _ in range(TRIALS):
+            workdir = tempfile.mkdtemp(prefix="blurrily_bench_wd_", dir=wd_base)
+            try:
+                pipe = LinkagePipeline(
+                    spark,
+                    workdir,
+                    jaccard_threshold=0.55,
+                    min_matches=3,
+                    max_df=64,  # two-phase blocking: capped generation + rescore
+                )
+                t0 = time.time()
+                pipe.run(transcripts).count()
+                wall = time.time() - t0
+                if best_wall is None or wall < best_wall:
+                    best_wall, best_metrics = wall, pipe.metrics
+            finally:
+                shutil.rmtree(workdir, ignore_errors=True)
+        timings["q_linkage_pipeline"] = round(best_wall, 3)
+        n_pairs = best_metrics.get("pairs", {}).get("rows") or 0
         pair_secs = (
-            pipe.metrics["pairs"]["seconds"] + pipe.metrics["scores"]["seconds"]
+            best_metrics["pairs"]["seconds"] + best_metrics["scores"]["seconds"]
         )
         if pair_secs > 0:
             extras["pairs_per_sec"] = round(n_pairs / pair_secs, 1)
         extras["n_candidate_pairs"] = n_pairs
         extras["n_turns"] = transcripts.count()
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
         shutil.rmtree(idx_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -238,6 +258,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _SF,
+                "trials": TRIALS,
                 **extras,
             }
         )
