@@ -40,6 +40,7 @@ CC_THRESHOLD = 0.6
 DUP_OFFSET = 1_000_000  # synthetic near-dup ids = doc_id + offset
 NGRAM_THRESHOLD = 0.5
 NEARDUP_EST_J = 0.5
+SPAN_W = 8          # duplicate_spans rolling-window width (words)
 SIMHASH_MAX_HAMMING = 6
 MINHASH_PARAMS = dedup._permutation_params(32, seed=7)
 IVF_FIXED_K = 8     # fixed-codebook IVF (take_centroids): full DuckDB oracle
@@ -177,6 +178,11 @@ def q_minhash_lsh(spark, sf_dir):
 def q_near_dedup(spark, sf_dir):
     # LSH candidates -> CC over the dup graph -> canonical keeper per doc
     return dedup.near_dedup(_docs_with_dups(spark, sf_dir), threshold=NEARDUP_EST_J)
+
+
+def q_duplicate_spans(spark, sf_dir):
+    # rolling 8-word window fingerprints; cross-doc spans flagged per doc
+    return dedup.duplicate_spans(_docs_with_dups(spark, sf_dir), w=SPAN_W)
 
 
 def q_simhash_fp(spark, sf_dir):
@@ -415,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh,
         "near_dedup": q_near_dedup,
+        "duplicate_spans": q_duplicate_spans,
         "simhash_fingerprints": q_simhash_fp,
         "simhash_near_dups": q_simhash,
         "token_count": q_token_count,
@@ -539,6 +546,25 @@ SELECT n.ref AS id,
        CAST(coalesce(c.keep, n.ref) AS BIGINT) AS keep_id,
        CAST(CASE WHEN coalesce(c.keep, n.ref) <> n.ref THEN 1 ELSE 0 END AS INT) AS is_dup
 FROM hay_norm n LEFT JOIN comp c ON c.node = n.ref"""
+
+    out["duplicate_spans"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+words AS (SELECT ref, string_split(norm, ' ') AS ws FROM hay_norm),
+wins AS (
+  SELECT w.ref, array_to_string(w.ws[t.i : t.i + {SPAN_W - 1}], ' ') AS win
+  FROM words w,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w.ws) - {SPAN_W} + 1, 1))) AS i) t
+),
+dupw AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT ref) >= 2),
+tot AS (SELECT ref, count(*) AS n_windows FROM wins GROUP BY ref),
+dup AS (
+  SELECT ref, count(*) AS n_dup FROM wins
+  WHERE win IN (SELECT win FROM dupw) GROUP BY ref
+)
+SELECT t.ref AS id,
+       CAST(t.n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       round(coalesce(d.n_dup, 0) / t.n_windows, 6) AS dup_fraction
+FROM tot t LEFT JOIN dup d ON d.ref = t.ref"""
 
     out["simhash_fingerprints"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
 {oracle.simhash_ctes('hay')}

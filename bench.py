@@ -20,6 +20,8 @@ Queries:
                       HOF overhead, not the engine)
   q_near_dedup     -- end-to-end retained-corpus dedup (LSH -> CC -> keeper
                       flags) on the same fast-hash SF-scaled corpus
+  q_duplicate_spans -- span-level dup stats (rolling window fingerprints),
+                      fast-hash SF-scaled corpus
   q_simhash        -- SimHash near-dups, same fast-hash SF-scaled corpus
   q_cosine_topk    -- brute-force embedding top-k
   q_ann_ivf        -- IVF ANN top-k (trained codebook; recall@5 vs brute
@@ -174,6 +176,12 @@ def main() -> None:
         "q_near_dedup",
         lambda: dedup.near_dedup(sketch_corpus, hash_fn="fast")
         .where("is_dup = 1")
+        .count(),
+    )
+    timed(
+        "q_duplicate_spans",
+        lambda: dedup.duplicate_spans(sketch_corpus, hash_fn="fast")
+        .where("n_dup_windows > 0")
         .count(),
     )
     timed(

@@ -330,6 +330,71 @@ def near_dedup(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+    hash_fn: str = "exact",
+) -> DataFrame:
+    """Span-level duplicate statistics: rolling ``w``-word windows over the
+    normalized text; a window appearing verbatim in >= ``min_docs``
+    distinct documents is a duplicated span.
+
+    The DataFrame-expressible face of substring dedup (the suffix-array
+    method of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022): fixed-length window fingerprints catch the
+    same cross-document boilerplate/quotation spans that doc-level
+    MinHash misses when the containing documents are otherwise different.
+    Returns one row per document:
+    ``(id, n_windows, n_dup_windows, dup_fraction)`` -- filter on
+    ``dup_fraction`` to drop boilerplate-heavy docs, or feed spans to a
+    cut-and-keep pass.
+
+    Scale shape: the explode is ~n_words rows per document; the window
+    document-frequency aggregation, the semi-join back, and the per-doc
+    rollup are all equi-key shuffles -- never pairwise. ``hash_fn='fast'``
+    ships 8-byte ``xxhash64`` window keys through the shuffles instead of
+    the w-word strings (the default 'exact' keeps raw windows so the
+    DuckDB oracle can reproduce the result bit-for-bit). Documents
+    shorter than ``w`` words contribute their whole text as one window.
+    """
+    d = _norm_col(df, text_col)
+    words = F.split(F.col("_norm"), " ")
+    n = F.size(words)
+    # slice() clamps past the end, so short docs (n < w) fall out of the
+    # same expression as one whole-text window -- no special case
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), w)),
+    )
+    exploded = d.select(
+        F.col(id_col).cast("long").alias("id"), F.explode(wins).alias("win")
+    )
+    key = F.xxhash64("win") if hash_fn == "fast" else F.col("win")
+    keyed = exploded.select("id", key.alias("wk"))
+    dup_keys = (
+        keyed.groupBy("wk")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("wk")
+    )
+    per_doc = keyed.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_per_doc = (
+        keyed.join(dup_keys, "wk", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    n_dup = F.coalesce("n_dup_windows", F.lit(0))
+    return per_doc.join(dup_per_doc, "id", "left").select(
+        "id",
+        "n_windows",
+        n_dup.alias("n_dup_windows"),
+        F.round(n_dup / F.col("n_windows"), 6).alias("dup_fraction"),
+    )
+
+
 def _token_hashes(df_tok: DataFrame, hash_fn: str) -> DataFrame:
     """Adds 62 bit sources: columns h1 (bits 0..30) and h2 (bits 31..61)."""
     if hash_fn == "fast":

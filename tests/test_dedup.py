@@ -53,3 +53,39 @@ def test_near_dedup_threshold_one_keeps_everything(spark):
     # est_jaccard never reaches 1.0 for the truncated dups at threshold > max
     out = dedup.near_dedup(_corpus(spark), threshold=1.01)
     assert [r["is_dup"] for r in out.collect()] == [0, 0, 0, 0]
+
+
+def test_duplicate_spans_flags_shared_windows(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly w=8 words
+    rows = [
+        (1, shared + " unique tail one here now"),
+        (2, "different head words go here " + shared),
+        (3, "totally disjoint text with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.duplicate_spans(df, w=8).collect()}
+    # docs 1 and 2 share the 8-word window; doc 3 shares nothing
+    assert out[1]["n_dup_windows"] >= 1 and out[2]["n_dup_windows"] >= 1
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_fraction"] == 0.0
+    # window count: n_words - w + 1 (doc 3 has 9 words)
+    assert out[3]["n_windows"] == 9 - 8 + 1
+
+
+def test_duplicate_spans_short_doc_is_one_window(spark):
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "other short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.duplicate_spans(df, w=8).collect()}
+    assert out[1]["n_windows"] == 1 and out[1]["dup_fraction"] == 1.0
+    assert out[2]["dup_fraction"] == 1.0
+    assert out[3]["n_dup_windows"] == 0
+
+
+def test_duplicate_spans_fast_hash_matches_exact(spark):
+    rows = [
+        (i, f"prefix {i} the quick brown fox jumps over the lazy dog suffix {i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(tuple(r) for r in dedup.duplicate_spans(df, w=6).collect())
+    fast = sorted(tuple(r) for r in dedup.duplicate_spans(df, w=6, hash_fn="fast").collect())
+    assert exact == fast

@@ -36,6 +36,7 @@ NO_PYTHON_QUERIES = [
     "minhash_signatures",  # portable hash family is pure SQL
     "minhash_lsh_pairs",
     "near_dedup",        # LSH pairs -> CC -> keeper join, end to end
+    "duplicate_spans",   # rolling window fingerprints, pure HOF SQL
     "simhash_fingerprints",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
