@@ -117,18 +117,25 @@ def main() -> None:
     # Best-of-TRIALS per query: this host is multi-tenant and a co-tenant
     # CPU burst can inflate any single query 3-5x (observed q_minhash_lsh
     # 6s steady-state vs 50s during a burst, with every other query in the
-    # same run normal). Min-of-2 reports engine cost, not tenancy luck;
-    # the JSON carries "trials" so rounds stay comparable.
+    # same run normal). Min-of-TRIALS reports engine cost, not tenancy
+    # luck; the JSON carries "trials" so rounds stay comparable. Trials
+    # are INTERLEAVED (the whole query list runs once, then repeats):
+    # bursts last minutes, so back-to-back trials of one query share the
+    # same burst while passes minutes apart don't.
     TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    _queries: list[tuple[str, object]] = []
 
     def timed(name: str, fn) -> None:
-        best = None
-        for _ in range(TRIALS):
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        _queries.append((name, fn))
+
+    def run_trials() -> None:
+        for t in range(TRIALS):
+            for name, fn in _queries:
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                if t == 0 or dt < timings[name]:
+                    timings[name] = round(dt, 3)
 
     import shutil
     import tempfile
@@ -152,10 +159,12 @@ def main() -> None:
             buckets=int(CPUS) if CPUS.isdigit() else 32,
         ),
     )
-    stored = spark.table("bench_postings_bucketed")
+    # the table is created by q_index_build's first trial; resolve lazily
     timed(
         "q_find_batch",
-        lambda: find_op(stored, em._queries_df(spark), limit=10).count(),
+        lambda: find_op(
+            spark.table("bench_postings_bucketed"), em._queries_df(spark), limit=10
+        ).count(),
     )
     timed("q_blocking_pairs", lambda: em.q_pairs_jaccard(spark, SF_DIR).count())
     timed(
@@ -215,6 +224,7 @@ def main() -> None:
             ).collect()
         ),
     )
+    run_trials()
     extras["ann_recall_at5"] = round(len(got & bf) / len(bf), 3)
     corpus.unpersist()
 
