@@ -180,6 +180,27 @@ def q_near_dedup(spark, sf_dir):
     return dedup.near_dedup(_docs_with_dups(spark, sf_dir), threshold=NEARDUP_EST_J)
 
 
+def q_near_dedup_cross(spark, sf_dir):
+    # new corpus (the synthetic truncated dups) deduped AGAINST the
+    # original subset: every new doc should match its source document
+    base = _docs_subset(spark, sf_dir).select("doc_id", "text")
+    new = base.select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.col("text")
+        .substr(F.lit(1), F.floor(F.length("text") * 0.9).cast("int"))
+        .alias("text"),
+    )
+    out = dedup.near_dedup_against(new, base, threshold=NEARDUP_EST_J)
+    # the API keeps NULLs for unmatched docs; the driver comparator sorts
+    # row tuples, so coalesce to sentinels here (-1 / 0.0)
+    return out.select(
+        "id",
+        F.coalesce("matched_ref_id", F.lit(-1)).alias("matched_ref_id"),
+        F.round(F.coalesce("est_jaccard", F.lit(0.0)), 6).alias("est_jaccard"),
+        "is_dup",
+    )
+
+
 def q_duplicate_spans(spark, sf_dir):
     # rolling 8-word window fingerprints; cross-doc spans flagged per doc
     return dedup.duplicate_spans(_docs_with_dups(spark, sf_dir), w=SPAN_W)
@@ -421,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh,
         "near_dedup": q_near_dedup,
+        "near_dedup_cross": q_near_dedup_cross,
         "duplicate_spans": q_duplicate_spans,
         "simhash_fingerprints": q_simhash_fp,
         "simhash_near_dups": q_simhash,
@@ -546,6 +568,30 @@ SELECT n.ref AS id,
        CAST(coalesce(c.keep, n.ref) AS BIGINT) AS keep_id,
        CAST(CASE WHEN coalesce(c.keep, n.ref) <> n.ref THEN 1 ELSE 0 END AS INT) AS is_dup
 FROM hay_norm n LEFT JOIN comp c ON c.node = n.ref"""
+
+    ref_corpus = f"(SELECT doc_id, text FROM documents WHERE doc_id < {PAIR_SUBSET})"
+    new_corpus = f"""(SELECT doc_id + {DUP_OFFSET} AS doc_id,
+        substr(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
+ FROM documents WHERE doc_id < {PAIR_SUBSET})"""
+    out["near_dedup_cross"] = f"""WITH {oracle.norm_cte('refc', ref_corpus, 'doc_id', 'text')},
+{oracle.minhash_ctes('refc', MINHASH_PARAMS)},
+{oracle.norm_cte('newc', new_corpus, 'doc_id', 'text')},
+{oracle.minhash_ctes('newc', MINHASH_PARAMS)},
+cand AS ({oracle.lsh_cross_pairs_sql('newc', 'refc', num_hashes=32, bands=8)}),
+qual AS (SELECT * FROM cand WHERE est_jaccard >= {NEARDUP_EST_J}),
+best AS (
+  SELECT new_id, ref_id, est_jaccard FROM (
+    SELECT new_id, ref_id, est_jaccard,
+           row_number() OVER (PARTITION BY new_id
+                              ORDER BY est_jaccard DESC, ref_id ASC) AS rn
+    FROM qual
+  ) WHERE rn = 1
+)
+SELECT n.ref AS id,
+       CAST(coalesce(b.ref_id, -1) AS BIGINT) AS matched_ref_id,
+       CAST(coalesce(b.est_jaccard, 0.0) AS DOUBLE) AS est_jaccard,
+       CAST(CASE WHEN b.ref_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM newc_norm n LEFT JOIN best b ON b.new_id = n.ref"""
 
     out["duplicate_spans"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
 words AS (SELECT ref, string_split(norm, ' ') AS ws FROM hay_norm),

@@ -211,6 +211,39 @@ FROM (
 WHERE {band_eq}"""
 
 
+def lsh_cross_pairs_sql(
+    new_alias: str,
+    ref_alias: str,
+    num_hashes: int,
+    bands: int,
+    round_to: int = 6,
+) -> str:
+    """SELECT over ``{new_alias}_sig`` x ``{ref_alias}_sig``: oriented
+    ``(new_id, ref_id, est_jaccard)`` pairs where some band matches exactly
+    (the cross-corpus twin of :func:`lsh_pairs_sql` -- no id ordering, the
+    two id spaces are independent)."""
+    rpb = num_hashes // bands
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sa[{b * rpb + j}] = sb[{b * rpb + j}]" for j in range(1, rpb + 1)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa[{j}] = sb[{j}] THEN 1 ELSE 0 END)"
+        for j in range(1, num_hashes + 1)
+    )
+    return f"""SELECT new_id, ref_id,
+  round(({matches}) / {float(num_hashes)}, {round_to}) AS est_jaccard
+FROM (
+  SELECT a.ref AS new_id, b.ref AS ref_id, a.sig AS sa, b.sig AS sb
+  FROM {new_alias}_sig a CROSS JOIN {ref_alias}_sig b
+)
+WHERE {band_eq}"""
+
+
 def cc_walk_ctes(edges: str = "edges") -> str:
     """Recursive min-label-propagation CTEs over an ``{edges}(src, dst)``
     CTE. Aggregate ``walk`` with ``min(label) GROUP BY node`` to read the

@@ -330,6 +330,103 @@ def near_dedup(
     )
 
 
+def near_dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Cross-corpus near-dedup: flag documents of ``new_df`` that
+    near-duplicate any document of ``ref_df`` (a fresh crawl against the
+    retained training corpus) -- the batch face of
+    :func:`blurrily_spark.streaming.stream.stream_minhash_dedup`.
+
+    Returns one row per new document:
+    ``(id, matched_ref_id, est_jaccard, is_dup)`` where ``matched_ref_id``
+    is the reference document with the highest estimated Jaccard >=
+    ``threshold`` (ties break to the smallest ref id) and NULL /
+    ``is_dup=0`` when nothing qualifies. The two corpora's id spaces are
+    independent -- orientation is preserved, ids are never compared across
+    sides.
+
+    Scale shape: the banded equi-join new x ref is linear in band
+    collisions, never |new| x |ref|; candidates are thresholded *before*
+    any aggregation, and the best match is a single max(struct) aggregate
+    -- duplicate band hits for one pair need no dedup shuffle, the max
+    absorbs them. For repeated batches against one reference corpus,
+    persist the banded reference side (or use the streaming variant,
+    which stores it pre-banded).
+    """
+    sn = banded_signatures(
+        minhash_signatures(new_df, id_col, text_col, w, num_hashes, seed, hash_fn),
+        num_hashes,
+        bands,
+    )
+    sr = banded_signatures(
+        minhash_signatures(ref_df, id_col, text_col, w, num_hashes, seed, hash_fn),
+        num_hashes,
+        bands,
+    )
+    rows_per_band = num_hashes // bands
+    a = sn.select(
+        F.col("id").cast("long").alias("new_id"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "bhash",
+    )
+    b = sr.select(
+        F.col("id").cast("long").alias("ref_id"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "bhash",
+    )
+    band_start = F.col("band") * rows_per_band + 1
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .where(
+            F.slice(F.col("sig_a"), band_start, F.lit(rows_per_band))
+            == F.slice(F.col("sig_b"), band_start, F.lit(rows_per_band))
+        )
+        .select("new_id", "ref_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    best = (
+        cand.groupBy("new_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("est_jaccard").alias("e"),
+                    (-F.col("ref_id")).alias("nid"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("new_id").alias("id"),
+            (-F.col("b.nid")).alias("matched_ref_id"),
+            F.col("b.e").alias("est_jaccard"),
+        )
+    )
+    ids = new_df.select(F.col(id_col).cast("long").alias("id"))
+    return ids.join(best, "id", "left").select(
+        "id",
+        "matched_ref_id",
+        "est_jaccard",
+        F.col("matched_ref_id").isNotNull().cast("int").alias("is_dup"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

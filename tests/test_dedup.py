@@ -89,3 +89,28 @@ def test_duplicate_spans_fast_hash_matches_exact(spark):
     exact = sorted(tuple(r) for r in dedup.duplicate_spans(df, w=6).collect())
     fast = sorted(tuple(r) for r in dedup.duplicate_spans(df, w=6, hash_fn="fast").collect())
     assert exact == fast
+
+
+def test_near_dedup_against_matches_and_orientation(spark):
+    ref = spark.createDataFrame([(10, BASE), (11, UNIQUE)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, BASE[: int(len(BASE) * 0.9)]),  # near-dup of ref 10
+            (2, "entirely fresh content about nothing previously retained ever"),
+            (10, UNIQUE),                        # id collides with ref 10, text = ref 11
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in dedup.near_dedup_against(new, ref).collect()}
+    assert out[1]["is_dup"] == 1 and out[1]["matched_ref_id"] == 10
+    assert out[2]["is_dup"] == 0 and out[2]["matched_ref_id"] is None
+    # id equality across corpora must not suppress a genuine text match
+    assert out[10]["is_dup"] == 1 and out[10]["matched_ref_id"] == 11
+
+
+def test_near_dedup_against_tie_breaks_to_smallest_ref(spark):
+    # two identical reference docs: the match must pick the smaller id
+    ref = spark.createDataFrame([(21, BASE), (20, BASE)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    row = dedup.near_dedup_against(new, ref).collect()[0]
+    assert row["matched_ref_id"] == 20 and row["est_jaccard"] == 1.0

@@ -37,6 +37,7 @@ NO_PYTHON_QUERIES = [
     "minhash_lsh_pairs",
     "near_dedup",        # LSH pairs -> CC -> keeper join, end to end
     "duplicate_spans",   # rolling window fingerprints, pure HOF SQL
+    "near_dedup_cross",  # new x ref banded join + max(struct) best match
     "simhash_fingerprints",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
