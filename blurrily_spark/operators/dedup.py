@@ -434,10 +434,17 @@ def duplicate_spans(
     w: int = 8,
     min_docs: int = 2,
     hash_fn: str = "exact",
+    stride: int = 1,
 ) -> DataFrame:
     """Span-level duplicate statistics: rolling ``w``-word windows over the
     normalized text; a window appearing verbatim in >= ``min_docs``
     distinct documents is a duplicated span.
+
+    ``stride`` is the 100 TB cost lever: windows start every ``stride``
+    words instead of every word, dividing the exploded row count by
+    ``stride`` at the cost of alignment sensitivity (a shared span is
+    still caught as long as both sides sample some common start offset;
+    ``stride=1`` is exhaustive and is what the oracle checks).
 
     The DataFrame-expressible face of substring dedup (the suffix-array
     method of Lee et al., "Deduplicating Training Data Makes Language
@@ -463,7 +470,7 @@ def duplicate_spans(
     # slice() clamps past the end, so short docs (n < w) fall out of the
     # same expression as one whole-text window -- no special case
     wins = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)), F.lit(stride)),
         lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), w)),
     )
     exploded = d.select(

@@ -114,3 +114,14 @@ def test_near_dedup_against_tie_breaks_to_smallest_ref(spark):
     new = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
     row = dedup.near_dedup_against(new, ref).collect()[0]
     assert row["matched_ref_id"] == 20 and row["est_jaccard"] == 1.0
+
+
+def test_duplicate_spans_stride_subsamples_windows(spark):
+    text = " ".join(f"w{i}" for i in range(20))  # 20 words -> 13 windows at w=8
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    full = {r["id"]: r for r in dedup.duplicate_spans(df, w=8).collect()}
+    strided = {r["id"]: r for r in dedup.duplicate_spans(df, w=8, stride=4).collect()}
+    assert full[1]["n_windows"] == 13
+    # starts 0,4,8,12 -> 4 windows; identical docs still fully flagged
+    assert strided[1]["n_windows"] == 4
+    assert strided[1]["dup_fraction"] == 1.0
