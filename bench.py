@@ -224,48 +224,51 @@ def main() -> None:
             ).collect()
         ),
     )
-    run_trials()
-    extras["ann_recall_at5"] = round(len(got & bf) / len(bf), 3)
-    corpus.unpersist()
-
-    # full linkage pipeline over synthetic transcripts
+    # full linkage pipeline over synthetic transcripts -- registered like
+    # every other query so its trials interleave too (a fresh workdir per
+    # invocation: a reused one would hit the pipeline's stage-resume cache
+    # and time a no-op); the fastest trial's stage metrics are kept
     from blurrily_spark.plans.pipeline import LinkagePipeline
 
     tpath = _ensure_transcripts(spark)
     transcripts = spark.read.parquet(tpath)
     wd_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    linkage_trials: list[tuple[float, dict]] = []
+
+    def _run_linkage() -> None:
+        workdir = tempfile.mkdtemp(prefix="blurrily_bench_wd_", dir=wd_base)
+        try:
+            pipe = LinkagePipeline(
+                spark,
+                workdir,
+                jaccard_threshold=0.55,
+                min_matches=3,
+                max_df=64,  # two-phase blocking: capped generation + rescore
+            )
+            t0 = time.time()
+            pipe.run(transcripts).count()
+            linkage_trials.append((time.time() - t0, pipe.metrics))
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    timed("q_linkage_pipeline", _run_linkage)
+
     try:
-        # fresh workdir per trial: a reused workdir would hit the pipeline's
-        # stage-resume cache and time a no-op; best trial's metrics are kept
-        best_wall, best_metrics = None, None
-        for _ in range(TRIALS):
-            workdir = tempfile.mkdtemp(prefix="blurrily_bench_wd_", dir=wd_base)
-            try:
-                pipe = LinkagePipeline(
-                    spark,
-                    workdir,
-                    jaccard_threshold=0.55,
-                    min_matches=3,
-                    max_df=64,  # two-phase blocking: capped generation + rescore
-                )
-                t0 = time.time()
-                pipe.run(transcripts).count()
-                wall = time.time() - t0
-                if best_wall is None or wall < best_wall:
-                    best_wall, best_metrics = wall, pipe.metrics
-            finally:
-                shutil.rmtree(workdir, ignore_errors=True)
-        timings["q_linkage_pipeline"] = round(best_wall, 3)
-        n_pairs = best_metrics.get("pairs", {}).get("rows") or 0
-        pair_secs = (
-            best_metrics["pairs"]["seconds"] + best_metrics["scores"]["seconds"]
-        )
-        if pair_secs > 0:
-            extras["pairs_per_sec"] = round(n_pairs / pair_secs, 1)
-        extras["n_candidate_pairs"] = n_pairs
-        extras["n_turns"] = transcripts.count()
+        run_trials()
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+    extras["ann_recall_at5"] = round(len(got & bf) / len(bf), 3)
+    corpus.unpersist()
+
+    best_metrics = min(linkage_trials, key=lambda t: t[0])[1]
+    n_pairs = best_metrics.get("pairs", {}).get("rows") or 0
+    pair_secs = (
+        best_metrics["pairs"]["seconds"] + best_metrics["scores"]["seconds"]
+    )
+    if pair_secs > 0:
+        extras["pairs_per_sec"] = round(n_pairs / pair_secs, 1)
+    extras["n_candidate_pairs"] = n_pairs
+    extras["n_turns"] = transcripts.count()
 
     total = round(sum(timings.values()), 3)
     print(

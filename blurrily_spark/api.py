@@ -302,6 +302,16 @@ class CommandProcessor:
 
     def __init__(self, map_group: MapGroup):
         self._group = map_group
+        # handler signatures are fixed for the object's lifetime; build
+        # them once -- process_command sits inside the TCP server's one
+        # serialized section, so per-request inspect.signature() would be
+        # pure added latency on the hot path
+        import inspect
+
+        self._signatures = {
+            cmd: inspect.signature(getattr(self, f"_on_{cmd}"))
+            for cmd in self.COMMANDS
+        }
 
     def process_command(self, line: str) -> str:
         parts = line.split("\t")
@@ -316,10 +326,8 @@ class CommandProcessor:
             # genuine TypeError raised inside a command implementation
             # propagates as a bug instead of masquerading as the protocol's
             # wrong-number-of-arguments reply
-            import inspect
-
             try:
-                inspect.signature(handler).bind(map_name, *args)
+                self._signatures[command].bind(map_name, *args)
             except TypeError as exc:
                 raise ProtocolError("wrong number of arguments") from exc
             result = handler(map_name, *args)

@@ -184,11 +184,10 @@ def minhash_ctes(alias: str, params: list[tuple[int, int]], w: int = 3) -> str:
 )"""
 
 
-def lsh_pairs_sql(
-    alias: str, num_hashes: int, bands: int, round_to: int = 6
-) -> str:
-    """SELECT over ``{alias}_sig``: pairs where some band matches exactly,
-    with est_jaccard = fraction of matching signature positions."""
+def _band_match_exprs(num_hashes: int, bands: int) -> tuple[str, str]:
+    """(band_eq, matches) SQL fragments over sig columns ``sa``/``sb`` --
+    shared by the self-join and cross-corpus LSH oracles so the band
+    re-check and the est formula can never diverge between them."""
     rpb = num_hashes // bands
     band_eq = " OR ".join(
         "("
@@ -202,6 +201,15 @@ def lsh_pairs_sql(
         f"(CASE WHEN sa[{j}] = sb[{j}] THEN 1 ELSE 0 END)"
         for j in range(1, num_hashes + 1)
     )
+    return band_eq, matches
+
+
+def lsh_pairs_sql(
+    alias: str, num_hashes: int, bands: int, round_to: int = 6
+) -> str:
+    """SELECT over ``{alias}_sig``: pairs where some band matches exactly,
+    with est_jaccard = fraction of matching signature positions."""
+    band_eq, matches = _band_match_exprs(num_hashes, bands)
     return f"""SELECT id_a, id_b,
   round(({matches}) / {float(num_hashes)}, {round_to}) AS est_jaccard
 FROM (
@@ -222,19 +230,7 @@ def lsh_cross_pairs_sql(
     ``(new_id, ref_id, est_jaccard)`` pairs where some band matches exactly
     (the cross-corpus twin of :func:`lsh_pairs_sql` -- no id ordering, the
     two id spaces are independent)."""
-    rpb = num_hashes // bands
-    band_eq = " OR ".join(
-        "("
-        + " AND ".join(
-            f"sa[{b * rpb + j}] = sb[{b * rpb + j}]" for j in range(1, rpb + 1)
-        )
-        + ")"
-        for b in range(bands)
-    )
-    matches = " + ".join(
-        f"(CASE WHEN sa[{j}] = sb[{j}] THEN 1 ELSE 0 END)"
-        for j in range(1, num_hashes + 1)
-    )
+    band_eq, matches = _band_match_exprs(num_hashes, bands)
     return f"""SELECT new_id, ref_id,
   round(({matches}) / {float(num_hashes)}, {round_to}) AS est_jaccard
 FROM (

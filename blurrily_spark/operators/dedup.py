@@ -213,6 +213,48 @@ def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
 
+def _banded_candidates(
+    left_banded: DataFrame,
+    right_banded: DataFrame,
+    num_hashes: int,
+    bands: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+) -> DataFrame:
+    """Raw oriented band-collision candidates between two banded signature
+    sets: ``(left_id, right_id, est_jaccard)``, one row per matching band
+    occurrence (callers dedup or aggregate). The join is an equi-join on
+    (band, bhash); the matched band's actual values are re-compared after
+    the join, so a 64-bit band-hash collision can never fabricate a
+    candidate (exact "some band equal" semantics, which is what the
+    oracle checks). est_jaccard is computed here, BEFORE any downstream
+    dedup, so dedup shuffles carry one double instead of two full
+    signature arrays per candidate row.
+    """
+    rows_per_band = num_hashes // bands
+    a = left_banded.select(
+        F.col("id").alias(left_id), F.col("sig").alias("sig_a"), "band", "bhash"
+    )
+    b = right_banded.select(
+        F.col("id").alias(right_id), F.col("sig").alias("sig_b"), "band", "bhash"
+    )
+    band_start = F.col("band") * rows_per_band + 1
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        a.join(b, ["band", "bhash"])
+        .where(
+            F.slice(F.col("sig_a"), band_start, F.lit(rows_per_band))
+            == F.slice(F.col("sig_b"), band_start, F.lit(rows_per_band))
+        )
+        .select(left_id, right_id, est.alias("est_jaccard"))
+    )
+
+
 def lsh_pairs_between(
     left_banded: DataFrame,
     right_banded: DataFrame,
@@ -222,42 +264,20 @@ def lsh_pairs_between(
     """Banded-join candidate pairs between two banded signature sets.
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``, one row per
-    unordered pair whose signatures match exactly on some band. The join is
-    an equi-join on (band, bhash); the matched band's actual values are
-    re-compared after the join, so a 64-bit band-hash collision can never
-    fabricate a candidate (exact "some band equal" semantics, which is
-    what the oracle checks). For self-dedup pass the same frame twice; for
-    incremental dedup pass (new-batch, all-seen) -- linear in the batch,
-    never a full self-join of history.
+    unordered pair whose signatures match exactly on some band. For
+    self-dedup pass the same frame twice; for incremental dedup pass
+    (new-batch, all-seen) -- linear in the batch, never a full self-join
+    of history. Assumes one shared id space (pairs are canonicalized
+    ``least/greatest``); for independent id spaces use
+    :func:`near_dedup_against`, which keeps orientation.
     """
-    rows_per_band = num_hashes // bands
-    a = left_banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash"
-    )
-    b = right_banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash"
-    )
-    band_start = F.col("band") * rows_per_band + 1
-    # est_jaccard is a symmetric pure function of the pair, so it is
-    # computed BEFORE the pair dedup: the dedup shuffle then carries one
-    # double instead of two full signature arrays per candidate row.
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(float(num_hashes))
     return (
-        a.join(b, ["band", "bhash"])
+        _banded_candidates(left_banded, right_banded, num_hashes, bands)
         .where(F.col("id_a") != F.col("id_b"))
-        .where(
-            F.slice(F.col("sig_a"), band_start, F.lit(rows_per_band))
-            == F.slice(F.col("sig_b"), band_start, F.lit(rows_per_band))
-        )
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            est.alias("est_jaccard"),
+            "est_jaccard",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -367,41 +387,15 @@ def near_dedup_against(
         minhash_signatures(new_df, id_col, text_col, w, num_hashes, seed, hash_fn),
         num_hashes,
         bands,
-    )
+    ).withColumn("id", F.col("id").cast("long"))
     sr = banded_signatures(
         minhash_signatures(ref_df, id_col, text_col, w, num_hashes, seed, hash_fn),
         num_hashes,
         bands,
-    )
-    rows_per_band = num_hashes // bands
-    a = sn.select(
-        F.col("id").cast("long").alias("new_id"),
-        F.col("sig").alias("sig_a"),
-        "band",
-        "bhash",
-    )
-    b = sr.select(
-        F.col("id").cast("long").alias("ref_id"),
-        F.col("sig").alias("sig_b"),
-        "band",
-        "bhash",
-    )
-    band_start = F.col("band") * rows_per_band + 1
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(float(num_hashes))
-    cand = (
-        a.join(b, ["band", "bhash"])
-        .where(
-            F.slice(F.col("sig_a"), band_start, F.lit(rows_per_band))
-            == F.slice(F.col("sig_b"), band_start, F.lit(rows_per_band))
-        )
-        .select("new_id", "ref_id", est.alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= threshold)
-    )
+    ).withColumn("id", F.col("id").cast("long"))
+    cand = _banded_candidates(
+        sn, sr, num_hashes, bands, left_id="new_id", right_id="ref_id"
+    ).where(F.col("est_jaccard") >= threshold)
     best = (
         cand.groupBy("new_id")
         .agg(
@@ -464,6 +458,8 @@ def duplicate_spans(
     DuckDB oracle can reproduce the result bit-for-bit). Documents
     shorter than ``w`` words contribute their whole text as one window.
     """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     d = _norm_col(df, text_col)
     words = F.split(F.col("_norm"), " ")
     n = F.size(words)

@@ -35,16 +35,13 @@ import threading
 
 from pyspark.sql import SparkSession
 
-from blurrily_spark.api import CommandProcessor, MapGroup
+from blurrily_spark.api import REF_RANGE, WEIGHT_RANGE, CommandProcessor, MapGroup
 from blurrily_spark.config import LIMIT_DEFAULT, LIMIT_RANGE
 
 DEFAULT_HOST = "localhost"   # lib/blurrily/defaults.rb:2
 DEFAULT_PORT = 12021         # lib/blurrily/defaults.rb:3
 DEFAULT_DATABASE = "words"   # lib/blurrily/defaults.rb:4
 SAVE_INTERVAL_SECONDS = 60.0  # lib/blurrily/server.rb:25
-
-REF_RANGE = (1, 1 << 31)     # lib/blurrily/defaults.rb:8
-WEIGHT_RANGE = (0, 1 << 31)  # lib/blurrily/defaults.rb:9
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -53,7 +50,9 @@ class _Handler(socketserver.StreamRequestHandler):
 
     def handle(self) -> None:
         for raw in self.rfile:
-            line = raw.decode("utf-8", errors="replace").strip()
+            # strip line terminators ONLY: tabs/spaces are protocol content
+            # (a trailing space in a FIND needle changes its trigram set)
+            line = raw.decode("utf-8", errors="replace").rstrip("\r\n")
             with self.server.command_lock:  # type: ignore[attr-defined]
                 out = self.server.processor.process_command(line)  # type: ignore[attr-defined]
             try:
@@ -93,7 +92,10 @@ class BlurrilyServer:
         self._serve_thread: threading.Thread | None = None
         self._saver_thread: threading.Thread | None = None
         self._stopping = threading.Event()
-        self._lock = threading.Lock()
+        # RLock: a SIGUSR1 handler runs nested on the main thread's stack;
+        # with a plain Lock a signal arriving while that thread is inside
+        # save() (e.g. stop()'s shutdown save) deadlocks the process
+        self._lock = threading.RLock()
 
     # -- lifecycle --------------------------------------------------------
 

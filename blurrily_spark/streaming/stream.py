@@ -179,10 +179,18 @@ def minhash_batch_writer(
             pairs = lsh_pairs_between(new_banded, all_banded, num_hashes, bands).where(
                 F.col("est_jaccard") >= threshold
             )
-            pair_sink.write(pairs, batch_id)
-            pair_sink.commit(batch_id)
-            sig_sink.write(new_banded, batch_id)
-            sig_sink.commit(batch_id)
+            # a partial replay must SKIP the sink that already committed:
+            # overwrite-rewriting it would delete committed data while its
+            # marker still stands, so a reader (or a second crash mid-
+            # rewrite) could see a marker with no data behind it. The
+            # recompute is deterministic, so the skipped sink's contents
+            # already equal what this replay would write.
+            if not pair_sink.is_committed(batch_id):
+                pair_sink.write(pairs, batch_id)
+                pair_sink.commit(batch_id)
+            if not sig_sink.is_committed(batch_id):
+                sig_sink.write(new_banded, batch_id)
+                sig_sink.commit(batch_id)
         finally:
             new_banded.unpersist()
 

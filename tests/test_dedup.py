@@ -51,8 +51,8 @@ def test_near_dedup_retained_corpus(spark):
 
 def test_near_dedup_threshold_one_keeps_everything(spark):
     # est_jaccard never reaches 1.0 for the truncated dups at threshold > max
-    out = dedup.near_dedup(_corpus(spark), threshold=1.01)
-    assert [r["is_dup"] for r in out.collect()] == [0, 0, 0, 0]
+    out = {r["id"]: r["is_dup"] for r in dedup.near_dedup(_corpus(spark), threshold=1.01).collect()}
+    assert out == {1: 0, 2: 0, 3: 0, 4: 0}
 
 
 def test_duplicate_spans_flags_shared_windows(spark):

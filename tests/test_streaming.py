@@ -3,6 +3,8 @@ batchId-idempotent atomic commits, and pre-banded incremental dedup."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from blurrily_spark.operators.find import find_one
@@ -151,7 +153,15 @@ def test_minhash_replayed_batch_is_noop_for_both_sinks(spark, tmp_path):
     # simulate the crash: un-commit the sigs half of batch 1
     fs, marker = BatchSink(spark, sigs)._marker(1)
     fs.delete(marker, False)
+    # the already-committed pairs side must not even be REWRITTEN: an
+    # overwrite would delete committed data while its marker stands
+    # (marker-implies-valid-data), and a second crash mid-rewrite would
+    # leave that state permanently
+    pdir = os.path.join(pairs, "batch-1")
+    before = {f: os.path.getmtime(os.path.join(pdir, f)) for f in os.listdir(pdir)}
     writer(batch2, 1)  # replay of the partially-committed batch
+    after = {f: os.path.getmtime(os.path.join(pdir, f)) for f in os.listdir(pdir)}
+    assert after == before, "committed pairs batch rewritten on partial replay"
     assert read_sink(spark, pairs).count() == np2, "pairs must not double-emit"
     assert read_sink(spark, sigs).count() == ns2, "sigs republished exactly once"
 
