@@ -66,17 +66,24 @@ def _docs_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).where(F.col("doc_id") < PAIR_SUBSET)
 
 
-def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc subset unioned with deterministic near-duplicates (each text
-    truncated to 90%), so dedup operators have true positives to find."""
-    base = _docs_subset(spark, sf_dir).select("doc_id", "text")
-    dups = base.select(
-        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+def _truncated_dups(base: DataFrame, offset: int = DUP_OFFSET) -> DataFrame:
+    """Deterministic near-duplicates of ``base``: ids shifted by
+    ``offset``, each text truncated to 90%. Single source for the driver
+    queries AND bench.py's SF-scaled corpus (the oracle SQL keeps its own
+    necessarily-SQL twin in ``dup_corpus``/``new_corpus``)."""
+    return base.select(
+        (F.col("doc_id") + offset).alias("doc_id"),
         F.col("text")
         .substr(F.lit(1), F.floor(F.length("text") * 0.9).cast("int"))
         .alias("text"),
     )
-    return base.unionByName(dups)
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc subset unioned with deterministic near-duplicates, so dedup
+    operators have true positives to find."""
+    base = _docs_subset(spark, sf_dir).select("doc_id", "text")
+    return base.unionByName(_truncated_dups(base))
 
 
 def _postings(spark: SparkSession, sf_dir: str, subset: bool = False) -> DataFrame:
@@ -184,13 +191,9 @@ def q_near_dedup_cross(spark, sf_dir):
     # new corpus (the synthetic truncated dups) deduped AGAINST the
     # original subset: every new doc should match its source document
     base = _docs_subset(spark, sf_dir).select("doc_id", "text")
-    new = base.select(
-        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
-        F.col("text")
-        .substr(F.lit(1), F.floor(F.length("text") * 0.9).cast("int"))
-        .alias("text"),
+    out = dedup.near_dedup_against(
+        _truncated_dups(base), base, threshold=NEARDUP_EST_J
     )
-    out = dedup.near_dedup_against(new, base, threshold=NEARDUP_EST_J)
     # the API keeps NULLs for unmatched docs; the driver comparator sorts
     # row tuples, so coalesce to sentinels here (-1 / 0.0)
     return out.select(

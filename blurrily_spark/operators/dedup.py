@@ -306,6 +306,22 @@ def minhash_lsh_pairs(
     return lsh_pairs_between(banded, banded, num_hashes, bands)
 
 
+_INTEGRAL_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """Keeper election / match painting run on long ids (the engine's ref
+    type, SURVEY.md §7.2). A silent cast of e.g. UUID-string ids would
+    turn every id NULL and let genuine duplicates pass unflagged, so
+    non-integral id columns fail loudly here instead."""
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype not in _INTEGRAL_ID_TYPES:
+        raise ValueError(
+            f"{op} requires an integral '{id_col}' column, got {dtype!r}; "
+            "map string ids to longs first (e.g. F.xxhash64(id))"
+        )
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -334,6 +350,7 @@ def near_dedup(
     """
     from blurrily_spark.operators.cluster import connected_components
 
+    _require_integral_id(df, id_col, "near_dedup")
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, w, num_hashes, bands, seed, hash_fn
     )
@@ -383,6 +400,8 @@ def near_dedup_against(
     persist the banded reference side (or use the streaming variant,
     which stores it pre-banded).
     """
+    _require_integral_id(new_df, id_col, "near_dedup_against")
+    _require_integral_id(ref_df, id_col, "near_dedup_against")
     sn = banded_signatures(
         minhash_signatures(new_df, id_col, text_col, w, num_hashes, seed, hash_fn),
         num_hashes,

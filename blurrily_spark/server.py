@@ -92,10 +92,14 @@ class BlurrilyServer:
         self._serve_thread: threading.Thread | None = None
         self._saver_thread: threading.Thread | None = None
         self._stopping = threading.Event()
-        # RLock: a SIGUSR1 handler runs nested on the main thread's stack;
-        # with a plain Lock a signal arriving while that thread is inside
-        # save() (e.g. stop()'s shutdown save) deadlocks the process
-        self._lock = threading.RLock()
+        self._save_requested = threading.Event()
+        # plain Lock: saves and command processing are mutually exclusive
+        # across threads. Signal handlers must NEVER call save() directly
+        # (they run nested on the main thread's stack: a plain Lock
+        # deadlocks, an RLock would let a second overwrite-write of the
+        # same snapshot paths interleave with the first) -- they call
+        # request_save(), and the autosave thread performs the save.
+        self._lock = threading.Lock()
 
     # -- lifecycle --------------------------------------------------------
 
@@ -123,15 +127,23 @@ class BlurrilyServer:
         return self._server.server_address[1]
 
     def save(self) -> None:
-        """Persist every map (the SIGUSR1 / periodic-timer action,
-        lib/blurrily/server.rb:24-27)."""
+        """Persist every map (the periodic-timer / shutdown action,
+        lib/blurrily/server.rb:24-27). Do not call from a signal handler
+        -- use :meth:`request_save`."""
         with self._lock:
             self.map_group.save_all()
+
+    def request_save(self) -> None:
+        """Async save trigger, safe from signal handlers: only sets an
+        event; the autosave thread wakes and runs the actual save (the
+        SIGUSR1 action, lib/blurrily/server.rb:27)."""
+        self._save_requested.set()
 
     def stop(self) -> None:
         """Stop accepting, then save -- EventMachine.add_shutdown_hook
         parity (lib/blurrily/server.rb:26)."""
         self._stopping.set()
+        self._save_requested.set()  # wake the saver so it can exit promptly
         if self._server is not None:
             self._server.shutdown()
             self._server.server_close()
@@ -151,7 +163,12 @@ class BlurrilyServer:
         self.stop()
 
     def _save_loop(self) -> None:
-        while not self._stopping.wait(self._save_interval):
+        while True:
+            # wakes early on request_save(); a timeout is the periodic tick
+            self._save_requested.wait(self._save_interval)
+            if self._stopping.is_set():
+                return
+            self._save_requested.clear()
             self.save()
 
 
@@ -277,7 +294,9 @@ def main(argv: list[str] | None = None) -> None:
     ).start()
 
     done = threading.Event()
-    signal.signal(signal.SIGUSR1, lambda *_: server.save())       # server.rb:27
+    # handlers only set events -- a save running nested on the main
+    # thread's stack could interleave two writes of one snapshot path
+    signal.signal(signal.SIGUSR1, lambda *_: server.request_save())  # server.rb:27
     signal.signal(signal.SIGINT, lambda *_: done.set())           # server.rb:21
     signal.signal(signal.SIGTERM, lambda *_: done.set())          # server.rb:22
     done.wait()

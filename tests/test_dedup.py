@@ -125,3 +125,13 @@ def test_duplicate_spans_stride_subsamples_windows(spark):
     # starts 0,4,8,12 -> 4 windows; identical docs still fully flagged
     assert strided[1]["n_windows"] == 4
     assert strided[1]["dup_fraction"] == 1.0
+
+
+def test_near_dedup_rejects_string_ids(spark):
+    df = spark.createDataFrame([("a", BASE)], "doc_id string, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="integral 'doc_id'"):
+        dedup.near_dedup(df)
+    with pytest.raises(ValueError, match="integral 'doc_id'"):
+        dedup.near_dedup_against(df, df)

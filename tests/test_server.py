@@ -115,6 +115,22 @@ def test_save_method_is_sigusr1_parity(server, tmp_path):
     assert os.path.exists(tmp_path / "foobar.trigrams" / "_SUCCESS")
 
 
+def test_request_save_runs_on_saver_thread(server, tmp_path):
+    """The SIGUSR1 handler path: request_save() only sets an event; the
+    autosave thread performs the save (a save nested on the signaled
+    thread's stack could interleave two writes of one snapshot path)."""
+    import time
+
+    with client_for(server) as c:
+        c.put("milan", 9)
+    server.request_save()
+    deadline = time.time() + 30
+    path = tmp_path / "foobar.trigrams" / "_SUCCESS"
+    while time.time() < deadline and not os.path.exists(path):
+        time.sleep(0.2)
+    assert os.path.exists(path), "deferred save never ran"
+
+
 def test_uses_existing_maps(spark, server, tmp_path):
     # integration_spec.rb:68-75: a pre-seeded snapshot in the server's
     # directory is served without any PUT
