@@ -135,3 +135,48 @@ def test_near_dedup_rejects_string_ids(spark):
         dedup.near_dedup(df)
     with pytest.raises(ValueError, match="integral 'doc_id'"):
         dedup.near_dedup_against(df, df)
+
+
+def test_duplicate_spans_randomized_python_oracle(spark):
+    """Seeded random corpora vs an independent pure-Python recomputation.
+
+    Inputs are pre-normalized (lowercase ASCII words), so normalization is
+    the identity and the Python oracle only has to replicate the window
+    semantics: positional w-windows (whole text when shorter), a window is
+    dup iff it appears verbatim in >= 2 distinct docs."""
+    import random
+
+    rng = random.Random(99)
+    # alphabetic-only vocab: S1 normalization strips digits (base-28
+    # alphabet is a-z + space), which would collapse tok0/tok1/... to 'tok'
+    vocab = [f"tok{chr(97 + i)}" for i in range(12)]  # toka..tokl
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(2, 30))] for i in range(40)
+    }
+    w, stride = 5, 2
+
+    def windows(ws):
+        if len(ws) < w:
+            return [" ".join(ws)]
+        return [" ".join(ws[i : i + w]) for i in range(0, len(ws) - w + 1, stride)]
+
+    per_doc = {i: windows(ws) for i, ws in docs.items()}
+    from collections import Counter
+
+    df_count = Counter()
+    for i, wins in per_doc.items():
+        for win in set(wins):
+            df_count[win] += 1
+    expected = {
+        i: (len(wins), sum(1 for win in wins if df_count[win] >= 2))
+        for i, wins in per_doc.items()
+    }
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in dedup.duplicate_spans(df, w=w, stride=stride, hash_fn="fast").collect()
+    }
+    assert got == expected
