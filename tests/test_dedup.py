@@ -180,3 +180,32 @@ def test_duplicate_spans_randomized_python_oracle(spark):
         for r in dedup.duplicate_spans(df, w=w, stride=stride, hash_fn="fast").collect()
     }
     assert got == expected
+
+
+def test_near_dedup_randomized_planted_groups(spark):
+    """Planted duplicate groups vs a pure-Python expectation.
+
+    Each base document draws from its OWN disjoint vocabulary slice, so
+    documents of different groups share zero shingles (est_jaccard = 0)
+    while exact copies share all of them (est_jaccard = 1) -- the expected
+    clustering is exactly text-equality, independent of hash internals."""
+    import random
+
+    rng = random.Random(7)
+    rows, next_id = [], 0
+    expected_keeper = {}
+    for g in range(8):
+        vocab = [f"w{chr(97 + g)}{chr(97 + j)}" for j in range(8)]  # group-private
+        text = " ".join(rng.choice(vocab) for _ in range(25))
+        n_copies = rng.randint(1, 4)
+        ids = list(range(next_id, next_id + n_copies))
+        next_id += n_copies
+        for i in ids:
+            rows.append((i, text))
+            expected_keeper[i] = min(ids)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in dedup.near_dedup(df, threshold=0.5).collect()}
+    assert {i: r["keep_id"] for i, r in got.items()} == expected_keeper
+    for i, r in got.items():
+        assert r["is_dup"] == (1 if expected_keeper[i] != i else 0)
