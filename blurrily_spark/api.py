@@ -92,11 +92,30 @@ class Map:
         if self._closed:
             raise ClosedError("map is closed")
 
+    # Bound on the driver-side ref set the interactive facade materializes
+    # for put()'s dup-ref test. 10M longs ~= a few hundred MB of Python set
+    # -- fine for the single-process facade this class is; a snapshot with
+    # more refs than this is batch-pipeline territory, where the membership
+    # test is the distributed anti-join (operators/index.py
+    # append_postings), not a driver set. The cap fails loudly instead of
+    # OOMing the driver; tests shrink it via the attribute.
+    REFS_MATERIALIZE_CAP = 10_000_000
+
     def _known_refs(self) -> set[int]:
         if self._refs is None:
-            self._refs = {
-                r["ref"] for r in self._postings.select("ref").distinct().collect()
-            }
+            cap = int(self.REFS_MATERIALIZE_CAP)
+            rows = (
+                self._postings.select("ref").distinct().limit(cap + 1).collect()
+            )
+            if len(rows) > cap:
+                raise RuntimeError(
+                    f"snapshot holds more than {cap} distinct refs; the "
+                    "interactive Map facade materializes refs driver-side "
+                    "for put()'s dup test -- use the batch path "
+                    "(operators/index.append_postings, which does a "
+                    "distributed anti-join) for corpora this size"
+                )
+            self._refs = {r["ref"] for r in rows}
         return self._refs
 
     # -- write path -------------------------------------------------------

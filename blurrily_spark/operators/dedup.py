@@ -415,19 +415,27 @@ def near_dedup_against(
     cand = _banded_candidates(
         sn, sr, num_hashes, bands, left_id="new_id", right_id="ref_id"
     ).where(F.col("est_jaccard") >= threshold)
+    # min(struct(1-e, ref_id, e)): max est_jaccard, ties to the SMALLEST
+    # ref id, via one partial-aggregating min -- no window (a row_number
+    # would lose map-side combine) and no id negation (-ref_id raises
+    # ARITHMETIC_OVERFLOW under ANSI mode when ref_id == Long.MIN_VALUE).
+    # The inverted sort key 1-e is double arithmetic (never overflows);
+    # the original est rides along as a payload field so the reported
+    # value is exact, not a round-tripped 1-(1-e).
     best = (
         cand.groupBy("new_id")
         .agg(
-            F.max(
+            F.min(
                 F.struct(
+                    (F.lit(1.0) - F.col("est_jaccard")).alias("inv"),
+                    F.col("ref_id").alias("rid"),
                     F.col("est_jaccard").alias("e"),
-                    (-F.col("ref_id")).alias("nid"),
                 )
             ).alias("b")
         )
         .select(
             F.col("new_id").alias("id"),
-            (-F.col("b.nid")).alias("matched_ref_id"),
+            F.col("b.rid").alias("matched_ref_id"),
             F.col("b.e").alias("est_jaccard"),
         )
     )

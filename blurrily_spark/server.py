@@ -24,6 +24,25 @@ accepts connections concurrently while one lock serializes
 thread-safe; Spark job submission itself is thread-safe, so a cluster
 deployment wanting parallel FINDs would drop the lock and route through the
 immutable postings DataFrame only).
+
+Latency expectation: the reference answers FIND in 1-2 ms (README.md:15-17)
+because the whole index lives in one process's mapped memory. Here every
+FIND is a Spark job, so the floor is the job-scheduling overhead --
+~0.5-2 s on local mode regardless of data size. This server exists for
+protocol parity and operational glue (autosave, SIGUSR1, multi-db
+isolation), not interactive point lookups; the serving answer at scale is
+the precomputed side: export the postings/top-k tables this engine builds
+(bucketed by trigram, see operators/index.py) into a point-lookup store,
+and keep Spark for the batch/streaming maintenance of those tables.
+
+Known byte-level divergence from the reference: incoming request lines are
+stripped of line terminators ONLY (``rstrip("\\r\\n")``), while the Ruby
+handler applies ``String#strip`` (which also removes leading/trailing
+spaces and tabs, lib/blurrily/server.rb:41). Tabs are protocol separators
+so that part is moot, but a needle with trailing spaces tokenizes here
+with those spaces and in the reference without; we preserve them because
+spaces inside the final field are legitimate content and the wire format
+has no way to quote them. Documented intentionally.
 """
 
 from __future__ import annotations
@@ -106,6 +125,12 @@ class BlurrilyServer:
     def start(self) -> "BlurrilyServer":
         if self._server is not None:
             raise RuntimeError("server already started")
+        # a stopped server may be started again: reset the lifecycle events,
+        # otherwise the restarted autosave thread would see the stale
+        # _stopping flag and exit immediately (silently disabling periodic
+        # autosave and request_save()/SIGUSR1 on the second life)
+        self._stopping.clear()
+        self._save_requested.clear()
         self._server = _TCPServer((self._host, self._requested_port), _Handler)
         self._server.processor = self.processor  # type: ignore[attr-defined]
         self._server.command_lock = self._lock  # type: ignore[attr-defined]

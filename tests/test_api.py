@@ -120,3 +120,25 @@ def test_load_delete_save_same_path(spark, tmp_path):
     m3 = Map.load(spark, path)
     assert m3.find("paris") == []  # deleted ref is gone from the snapshot
     assert [r[0] for r in m3.find("london")] == [456]
+
+
+def test_known_refs_materialization_cap(spark, tmp_path):
+    """Round-3 verdict #6: the facade's driver-side ref set is bounded --
+    a put() against a snapshot with more refs than the cap fails loudly
+    (pointing at the batch anti-join path) instead of OOMing the driver."""
+    import pytest
+
+    path = str(tmp_path / "cap.trigrams")
+    m = Map(spark)
+    m.put("paris", 1)
+    m.put("london", 2)
+    m.put("berlin", 3)
+    m.save(path)
+
+    m2 = Map.load(spark, path)
+    m2.REFS_MATERIALIZE_CAP = 2  # shrink the bound for the test
+    with pytest.raises(RuntimeError, match="append_postings"):
+        m2.put("oslo", 4)
+
+    m3 = Map.load(spark, path)  # default cap: unaffected
+    assert m3.put("oslo", 4) > 0

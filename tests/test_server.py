@@ -172,3 +172,41 @@ def test_server_error_reply_raises_client_error(server):
     with client_for(server, db="BAD-DB") as c:
         with pytest.raises(ClientError, match="Invalid database name"):
             c.find("paris")
+
+
+def test_restarted_server_autosave_still_works(spark, tmp_path):
+    """Round-3 ADVICE: stop() left _stopping set, so a restarted server's
+    autosave thread exited immediately and request_save()/SIGUSR1 became
+    silent no-ops on the second life. start() must reset the lifecycle
+    events."""
+    import time
+
+    srv = BlurrilyServer(
+        spark, host="127.0.0.1", port=0, directory=str(tmp_path), save_interval=3600
+    ).start()
+    with client_for(srv) as c:
+        c.put("rome", 1)
+    srv.stop()
+
+    srv.start()  # second life
+    try:
+        with client_for(srv) as c:
+            c.put("oslo", 2)
+        srv.request_save()  # must be served by a LIVE autosave thread
+        deadline = time.time() + 30
+        marker = tmp_path / "foobar.trigrams" / "_SUCCESS"
+
+        def saved_oslo():
+            if not marker.exists():
+                return False
+            try:
+                m = Map.load(spark, str(tmp_path / "foobar.trigrams"))
+                return [r[0] for r in m.find("oslo")] == [2]
+            except Exception:
+                return False  # snapshot overwrite in flight; retry
+
+        while time.time() < deadline and not saved_oslo():
+            time.sleep(0.2)
+        assert saved_oslo(), "request_save() was a no-op on the restarted server"
+    finally:
+        srv.stop()
