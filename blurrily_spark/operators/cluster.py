@@ -20,7 +20,7 @@ table write per iteration, which also gives checkpoint-resume).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -75,13 +75,16 @@ def _checkpoint_rdd(df: DataFrame):
         return None
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    # bit_xor: order-insensitive and overflow-free (ANSI mode is on in Spark 4)
-    row = edges.select(F.xxhash64("src", "dst").alias("h")).agg(
+def _fingerprint_metrics() -> list:
+    """Aggregates for the convergence fingerprint, attached via
+    ``observe()`` so they ride the checkpoint materialization job instead
+    of costing a second full pass per iteration (round-3 verdict #2).
+    bit_xor over xxhash64(src, dst): order-insensitive and overflow-free
+    (ANSI mode is on in Spark 4); coalesce covers the empty-graph case."""
+    return [
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ]
 
 
 def connected_components(
@@ -89,6 +92,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with its component min.
 
@@ -96,6 +100,12 @@ def connected_components(
     ``entity_id`` = smallest ref in the component (deterministic labels).
     Nodes absent from ``edges`` (singletons) are the caller's to add; see
     :func:`assign_entities`.
+
+    Each iteration runs exactly ONE Spark job: the eager ``localCheckpoint``
+    that materializes the round's edges, with the convergence fingerprint
+    (edge count + order-insensitive hash) collected by ``observe()`` on
+    that same job. ``stats``, when given, receives ``{"rounds": r}`` for
+    callers/tests that pin the per-round job count.
     """
     e = _canonical(
         edges.select(
@@ -109,8 +119,18 @@ def connected_components(
 
     prev_fp = None
     cur_parts = default_parts  # shuffles reset partitioning to the default
+    rounds = 0
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # one fresh Observation per round (an Observation is single-use);
+        # the eager localCheckpoint below is the action that fires it, so
+        # the fingerprint costs zero extra jobs
+        obs = Observation()
+        e = (
+            _small_star(_large_star(e))
+            .observe(obs, *_fingerprint_metrics())
+            .localCheckpoint()
+        )
+        rounds += 1
         # the new checkpoint is eager (fully materialized), so the previous
         # round's blocks can never be read again -- free them now instead of
         # leaking one RDD per round until the next periodic JVM GC. The
@@ -120,7 +140,8 @@ def connected_components(
             held_rdd.unpersist(False)
         held_rdd = new_rdd
         cur_parts = default_parts
-        fp = _fingerprint(e)
+        m = obs.get
+        fp = (int(m["n"]), int(m["h"]))
         if fp == prev_fp:
             break
         prev_fp = fp
@@ -135,6 +156,8 @@ def connected_components(
             cur_parts = target
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
 
     # Converged state: every edge is (node, component-min). Roots appear only
     # on the dst side; give each a self-label.

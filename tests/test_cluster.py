@@ -86,3 +86,38 @@ def test_iteration_checkpoints_are_freed(spark):
     assert after - before <= 1, f"leaked {after - before} checkpoint RDDs"
     got = {r["ref"]: r["entity_id"] for r in labels.collect()}
     assert set(got.values()) == {0} and len(got) == 65
+
+
+def test_one_job_per_iteration(spark):
+    """Round-3 verdict #2: the convergence fingerprint rides on the
+    checkpoint materialization via observe() -- each large-star/small-star
+    round costs exactly ONE job (previously two: checkpoint + a separate
+    count/bit_xor pass). Budget: 1 initial canonical checkpoint + 1 job per
+    round; the final labels aggregation runs lazily on collect, outside the
+    measured span."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    stats: dict = {}
+    sc = spark.sparkContext
+    # AQE splits one action into one job per shuffle stage, which would make
+    # the job count measure plan depth, not action count -- switch it off so
+    # jobs == actions for the pinned span
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-jobs-pin", "count jobs per CC round")
+    try:
+        labels = connected_components(edges, stats=stats)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    rounds = stats["rounds"]
+    assert rounds >= 3  # a 64-chain takes several rounds; sanity
+    jobs = len(sc.statusTracker().getJobIdsForGroup("cc-jobs-pin"))
+    assert jobs <= rounds + 1, (
+        f"{jobs} jobs for {rounds} rounds -- fingerprint is paying a "
+        "separate pass again"
+    )
+    # and the labels are still correct
+    got = {r["ref"]: r["entity_id"] for r in labels.collect()}
+    assert set(got.values()) == {0} and len(got) == 65
