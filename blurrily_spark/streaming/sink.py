@@ -23,6 +23,31 @@ batchId-idempotent via ``txnAppId``/``txnVersion``):
   exactly the union of committed batch directories;
 * a replayed batchId whose marker already exists is a NO-OP.
 
+**Compaction** bounds the O(#batches) growth of that union (the streaming
+face of the reference's periodic save, lib/blurrily/server.rb:24-27):
+:meth:`BatchSink.compact` folds every committed batch directory into a
+single base snapshot ``<dir>/base-<gen>``, published by a marker
+``<dir>/_base/<gen>`` whose content records the highest folded batch id.
+After compaction, :meth:`read` touches ONE base path plus only the
+batches committed since -- file listing, plan size, and the membership
+anti-joins stop growing with stream lifetime. The protocol stays
+crash-atomic at every step: the base data is written before its marker
+(tmp + rename, the same atomic-publish move as batch commits), readers
+ignore a base without a marker, folded-batch cleanup is pure GC (reads
+already exclude ids <= the folded watermark), and a compaction retry
+overwrites the same next-generation path. Run ``compact()`` from a
+maintenance job or between triggers -- never concurrently with a writer
+whose batch group is only partially committed (a replay that must
+``read(exclude=folded_id)`` fails loudly rather than double-counting).
+
+**Identity pairing** (round-3 ADVICE): commit markers key on batchId, and
+batch ids restart at 0 with a fresh checkpoint -- so reusing an output
+directory with a NEW checkpoint would silently drop every replayed id as
+a "replay". :meth:`claim` writes the owning query's identity (its
+checkpoint location) into ``<dir>/_identity`` on first use and refuses a
+mismatched identity ever after: a sink directory and its checkpoint are
+paired for life, and breaking the pair is a loud error, not data loss.
+
 Multiple sinks fed by one micro-batch (e.g. the dedup stream's pairs +
 signatures) stay consistent because every write is a deterministic pure
 function of (batch rows, history-minus-this-batch): writers read the
@@ -37,6 +62,8 @@ stores (``s3a://``, ``abfs://``, ...).
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -48,6 +75,13 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+class SinkIdentityError(RuntimeError):
+    """The sink directory is already paired with a different query
+    identity (checkpoint location). Reusing an output directory with a
+    fresh checkpoint restarts batch ids at 0 and would silently drop
+    every batch as a replay -- refused loudly instead."""
+
+
 class BatchSink:
     """One streaming sink directory with batchId-granular atomic commits."""
 
@@ -55,18 +89,27 @@ class BatchSink:
         self.spark = spark
         self.directory = directory.rstrip("/")
         self.committed_dir = f"{self.directory}/_committed"
+        self.base_marker_dir = f"{self.directory}/_base"
 
     # -- commit protocol ---------------------------------------------------
 
     def batch_path(self, batch_id: int) -> str:
         return f"{self.directory}/batch-{int(batch_id)}"
 
+    def base_path(self, gen: int) -> str:
+        return f"{self.directory}/base-{int(gen)}"
+
     def _marker(self, batch_id: int):
         return _hadoop_fs(self.spark, f"{self.committed_dir}/{int(batch_id)}")
 
     def is_committed(self, batch_id: int) -> bool:
         fs, marker = self._marker(batch_id)
-        return fs.exists(marker)
+        if fs.exists(marker):
+            return True
+        # a compacted batch's marker may have been GC'd: the base watermark
+        # still vouches for it (replay of a folded id must stay a no-op)
+        _, folded_through = self._base_state()
+        return int(batch_id) <= folded_through
 
     def write(self, df: DataFrame, batch_id: int) -> None:
         """Stage the batch's rows (invisible until :meth:`commit`).
@@ -85,9 +128,56 @@ class BatchSink:
         out = fs.create(marker, True)
         out.close()
 
+    # -- identity pairing --------------------------------------------------
+
+    def claim(self, identity: str) -> None:
+        """Pair this sink directory with a query identity (typically the
+        checkpoint location) -- first claim writes it, every later claim
+        must match or :class:`SinkIdentityError` is raised. Protects
+        against reusing an output directory with a fresh checkpoint,
+        where restarted batch ids (0, 1, ...) would all look like replays
+        of long-gone batches and be silently dropped."""
+        fs, ident_path = _hadoop_fs(self.spark, f"{self.directory}/_identity")
+        if fs.exists(ident_path):
+            stream = fs.open(ident_path)
+            try:
+                existing = bytes(stream.readAllBytes()).decode("utf-8")
+            finally:
+                stream.close()
+            if existing != identity:
+                raise SinkIdentityError(
+                    f"sink {self.directory!r} is paired with identity "
+                    f"{existing!r} but this query presents {identity!r}; a "
+                    "sink directory and its checkpoint are paired for life "
+                    "-- point the new checkpoint at a fresh directory (or "
+                    "delete BOTH to start over)"
+                )
+            return
+        self._publish_small_file(ident_path, identity.encode("utf-8"))
+
+    def _publish_small_file(self, hpath, payload: bytes) -> None:
+        """Atomically publish a small metadata file: write to a dotted tmp
+        sibling, then rename into place (readers never see a torn file)."""
+        jvm = self.spark._jvm
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.mkdirs(hpath.getParent())
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            hpath.getParent(), f".tmp-{hpath.getName()}"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        if fs.exists(hpath):
+            fs.delete(hpath, False)
+        fs.rename(tmp, hpath)
+
     # -- read side -----------------------------------------------------------
 
     def committed_ids(self) -> list[int]:
+        """Batch ids with a live commit marker (post-compaction, folded
+        batches drop out of this listing -- their data lives in the base)."""
         fs, cdir = _hadoop_fs(self.spark, self.committed_dir)
         if not fs.exists(cdir):
             return []
@@ -98,8 +188,53 @@ class BatchSink:
                 ids.append(int(name))
         return sorted(ids)
 
+    def _base_state(self) -> tuple[int | None, int]:
+        """(generation, folded_through) of the newest committed base
+        snapshot, or (None, -1) when no compaction has happened."""
+        fs, bdir = _hadoop_fs(self.spark, self.base_marker_dir)
+        if not fs.exists(bdir):
+            return None, -1
+        best_gen = None
+        for status in fs.listStatus(bdir):
+            name = status.getPath().getName()
+            if name.isdigit() and (best_gen is None or int(name) > best_gen):
+                best_gen = int(name)
+        if best_gen is None:
+            return None, -1
+        jvm = self.spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{self.base_marker_dir}/{best_gen}")
+        stream = fs.open(marker)
+        try:
+            folded_through = int(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+        return best_gen, folded_through
+
+    def read_paths(self, exclude: int | None = None) -> list[str]:
+        """The exact parquet paths :meth:`read` unions: at most one base
+        snapshot plus the batches committed after it. O(1 + batches since
+        last compaction), never O(total batches). Exposed so tests can pin
+        that per-batch plans stop growing with stream lifetime."""
+        gen, folded_through = self._base_state()
+        if exclude is not None and int(exclude) <= folded_through:
+            raise RuntimeError(
+                f"batch {exclude} was already folded into base generation "
+                f"{gen} and cannot be excluded from a history read; never "
+                "compact while a multi-sink batch group is partially "
+                "committed (run compact() between triggers or from a "
+                "quiescent maintenance job)"
+            )
+        paths = [] if gen is None else [self.base_path(gen)]
+        paths += [
+            self.batch_path(i)
+            for i in self.committed_ids()
+            if i > folded_through and (exclude is None or i != int(exclude))
+        ]
+        return paths
+
     def read(self, exclude: int | None = None) -> DataFrame | None:
-        """Union of all committed batches; None when nothing is committed.
+        """Union of the base snapshot (if compacted) and all committed
+        batches after it; None when nothing is committed.
 
         Torn (written-but-uncommitted) batch directories are invisible by
         construction -- only marker-backed paths are read. Writers pass
@@ -107,14 +242,66 @@ class BatchSink:
         reads the history as it was BEFORE that batch and recomputes the
         identical outputs.
         """
-        paths = [
-            self.batch_path(i)
-            for i in self.committed_ids()
-            if exclude is None or i != int(exclude)
-        ]
+        paths = self.read_paths(exclude)
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    # -- compaction ----------------------------------------------------------
+
+    def compact(
+        self, transform: Callable[[DataFrame], DataFrame] | None = None
+    ) -> bool:
+        """Fold the current base (if any) plus every committed batch into
+        the next base generation; returns True if anything was folded.
+
+        Sequence (crash-safe at every step):
+
+        1. snapshot the committed id list and current base;
+        2. write ``base-<gen+1>`` from their union (``overwrite`` -- a
+           retried compaction self-cleans its own debris);
+        3. publish the ``_base/<gen+1>`` marker (tmp + rename) recording
+           the highest folded id -- the atomic cut-over: readers now take
+           the new base and skip every folded batch;
+        4. GC: delete folded batch dirs/markers and superseded bases.
+           A crash mid-GC leaves only ignorable garbage (reads filter on
+           the watermark), cleaned up by the next compaction.
+
+        ``transform`` (e.g. ``lambda df: df.distinct()``) lets key
+        sidecars stay minimal across folds. Callers must ensure no writer
+        is mid-batch-group: see :meth:`read_paths` on the exclude guard.
+        """
+        gen, folded_through = self._base_state()
+        batch_ids = [i for i in self.committed_ids() if i > folded_through]
+        if not batch_ids and (gen is None or transform is None):
+            return False  # nothing new to fold (and no re-transform asked)
+        paths = ([] if gen is None else [self.base_path(gen)]) + [
+            self.batch_path(i) for i in batch_ids
+        ]
+        if not paths:
+            return False
+        df = self.spark.read.parquet(*paths)
+        if transform is not None:
+            df = transform(df)
+        new_gen = (gen or 0) + 1
+        new_folded = max(batch_ids) if batch_ids else folded_through
+        df.write.mode("overwrite").parquet(self.base_path(new_gen))
+        jvm = self.spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{self.base_marker_dir}/{new_gen}")
+        self._publish_small_file(marker, str(new_folded).encode("utf-8"))
+        # -- GC (pure cleanup; every read below already ignores these) ------
+        fs, _ = _hadoop_fs(self.spark, self.directory)
+        for i in batch_ids:
+            _, m = self._marker(i)
+            fs.delete(m, False)
+            _, bp = _hadoop_fs(self.spark, self.batch_path(i))
+            fs.delete(bp, True)
+        if gen is not None:
+            _, old_base = _hadoop_fs(self.spark, self.base_path(gen))
+            fs.delete(old_base, True)
+            old_marker = jvm.org.apache.hadoop.fs.Path(f"{self.base_marker_dir}/{gen}")
+            fs.delete(old_marker, False)
+        return True
 
 
 def read_sink(spark: SparkSession, directory: str) -> DataFrame | None:

@@ -17,6 +17,14 @@ the streaming analogue of F7's counters, and an incremental MinHash
 dedup stream whose signature history is persisted PRE-BANDED so each
 micro-batch joins against it without recomputing the banding -- per-batch
 cost is O(batch + collisions), not O(history).
+
+Long-running cost shape (round-3 verdict #1): membership tests read
+per-batch KEY SIDECARS (distinct refs / ids), not the full data history,
+and every sink is periodically folded into a base snapshot
+(``BatchSink.compact``), so per-trigger file listing, plan size, and
+membership IO are O(1 + batches since last compaction) for the whole
+stream lifetime -- the parquet stand-in for Iceberg/Delta table
+maintenance (rewrite/compact actions) on a real cluster.
 """
 
 from __future__ import annotations
@@ -40,28 +48,51 @@ def read_transcripts_stream(
     return reader.parquet(input_dir)
 
 
-def index_batch_writer(output_dir: str):
+def refs_sidecar_dir(output_dir: str) -> str:
+    """Membership sidecar location for an index sink: one tiny parquet of
+    DISTINCT refs per batch, compacted alongside the data. The per-trigger
+    W2 membership anti-join reads this instead of scanning every committed
+    postings batch -- O(refs) bytes, O(1 + batches-since-compaction) paths,
+    never a full-history distinct over the postings."""
+    return f"{output_dir.rstrip('/')}/_refs"
+
+
+def index_batch_writer(output_dir: str, checkpoint_dir: str | None = None,
+                       compact_every: int | None = None):
     """foreachBatch body for :func:`stream_index_build` (module-level so
     tests can replay a batchId directly and assert the no-op).
 
     Per micro-batch:
-      1. replayed batchId (marker exists) -> NO-OP (exactly-once on retry);
+      1. fully-replayed batchId (postings AND refs-sidecar markers exist)
+         -> NO-OP (exactly-once on retry);
       2. first-wins dedup within the batch (deterministic arrival order);
-      3. W2 membership test: left-anti join against the committed sink's
-         refs, so a turn re-sent in a later file adds nothing -- the
-         reference's put-on-seen-ref semantics (ext/blurrily/storage.c:408,
+      3. W2 membership test: left-anti join against the committed REFS
+         SIDECAR (not the full postings history), so a turn re-sent in a
+         later file adds nothing -- the reference's put-on-seen-ref
+         semantics (ext/blurrily/storage.c:408,
          spec/blurrily/map_spec.rb:61-67). A plain append sink cannot
          express this (it double-inserts postings and inflates FIND match
          counts);
-      4. stage the batch's postings, then commit the marker (atomic
-         publish; a crash before the marker leaves the batch invisible and
-         the replay rewrites it in place).
+      4. stage + commit the batch's postings, then its refs (each skipped
+         if already committed -- a partial-commit replay recomputes the
+         identical rows from the pre-batch history and publishes only the
+         missing sink, never rewriting a committed one);
+      5. optionally compact both sinks once ``compact_every`` uncompacted
+         batches have accumulated (safe here: every sink of this batch
+         group is committed by then).
+
+    ``checkpoint_dir``, when given, is claimed as the sink's identity --
+    reusing this output directory with a different checkpoint fails loudly
+    instead of silently dropping restarted batch ids as replays.
     """
 
     def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         sink = BatchSink(sess, output_dir)
-        if sink.is_committed(batch_id):
+        ref_sink = BatchSink(sess, refs_sidecar_dir(output_dir))
+        if checkpoint_dir is not None:
+            sink.claim(checkpoint_dir)
+        if sink.is_committed(batch_id) and ref_sink.is_committed(batch_id):
             return
         turns = build_turns(batch_df)
         win = Window.partitionBy("ref").orderBy(
@@ -72,12 +103,20 @@ def index_batch_writer(output_dir: str):
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        existing = sink.read(exclude=batch_id)
-        if existing is not None:
-            existing_refs = existing.select("ref").distinct()
+        existing_refs = ref_sink.read(exclude=batch_id)
+        if existing_refs is not None:
             fresh = fresh.join(existing_refs, "ref", "left_anti")
-        sink.write(turns_to_postings(fresh), batch_id)
-        sink.commit(batch_id)
+        if not sink.is_committed(batch_id):
+            sink.write(turns_to_postings(fresh), batch_id)
+            sink.commit(batch_id)
+        if not ref_sink.is_committed(batch_id):
+            # refs are unique across batches by construction (the anti-join
+            # above), so the sidecar needs no distinct at fold time
+            ref_sink.write(fresh.select("ref"), batch_id)
+            ref_sink.commit(batch_id)
+        if compact_every and len(sink.committed_ids()) >= compact_every:
+            sink.compact()
+            ref_sink.compact()
 
     return _append_batch
 
@@ -89,6 +128,7 @@ def stream_index_build(
     checkpoint_dir: str,
     available_now: bool = False,
     processing_time: str = "60 seconds",
+    compact_every: int | None = 16,
 ):
     """Continuous index maintenance: stream of transcript turns -> postings
     committed batch-atomically to ``output_dir`` (read back with
@@ -98,10 +138,20 @@ def stream_index_build(
     ``available_now=True`` drains the current backlog and stops (used by
     tests and backfill). Restart resumes from the checkpoint -- the
     streaming face of the pipeline's resumability.
+
+    ``output_dir`` is paired for life with ``checkpoint_dir`` (the sink
+    claims it as its identity); pointing a FRESH checkpoint at a used
+    output directory raises instead of silently dropping restarted batch
+    ids as replays. ``compact_every`` folds the sink into a base snapshot
+    once that many uncompacted batches accumulate, so read fan-out and the
+    membership sidecar stay O(1 + recent batches) over the stream's life
+    (None disables).
     """
     src = read_transcripts_stream(spark, input_dir)
     writer = (
-        src.writeStream.foreachBatch(index_batch_writer(output_dir))
+        src.writeStream.foreachBatch(
+            index_batch_writer(output_dir, checkpoint_dir, compact_every)
+        )
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -111,12 +161,23 @@ def stream_index_build(
     return writer.start()
 
 
+def ids_sidecar_dir(sigs_dir: str) -> str:
+    """Membership sidecar for a signature-history sink: one tiny parquet of
+    new ids per batch. The already-seen test anti-joins against this --
+    O(ids) bytes instead of a distinct over the full (id, sig, band, bhash)
+    history (whose row count is ids x bands and whose rows carry the
+    signature array)."""
+    return f"{sigs_dir.rstrip('/')}/_ids"
+
+
 def minhash_batch_writer(
     sigs_dir: str,
     pairs_dir: str,
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
 ):
     """foreachBatch body for :func:`stream_minhash_dedup`.
 
@@ -149,7 +210,15 @@ def minhash_batch_writer(
         sess = batch_df.sparkSession
         sig_sink = BatchSink(sess, sigs_dir)
         pair_sink = BatchSink(sess, pairs_dir)
-        if sig_sink.is_committed(batch_id) and pair_sink.is_committed(batch_id):
+        id_sink = BatchSink(sess, ids_sidecar_dir(sigs_dir))
+        if checkpoint_dir is not None:
+            sig_sink.claim(checkpoint_dir)
+            pair_sink.claim(checkpoint_dir)
+        if (
+            sig_sink.is_committed(batch_id)
+            and pair_sink.is_committed(batch_id)
+            and id_sink.is_committed(batch_id)
+        ):
             return
         turns = build_turns(batch_df)
         win = Window.partitionBy("ref").orderBy(
@@ -163,12 +232,14 @@ def minhash_batch_writer(
         new_sigs = minhash_signatures(
             fresh, id_col="ref", text_col="norm", num_hashes=num_hashes
         )
+        # already-seen membership: the ids sidecar, not a distinct over the
+        # full signature history (O(ids) bytes, O(1 + recent batches) paths)
+        seen_ids = id_sink.read(exclude=batch_id)
+        if seen_ids is not None:
+            new_sigs = new_sigs.join(seen_ids, "id", "left_anti")
         # pre-banded history: (id, sig, band, bhash); exclude this batch so
         # a partial-commit replay recomputes against the pre-batch history
         stored_banded = sig_sink.read(exclude=batch_id)
-        if stored_banded is not None:
-            seen_ids = stored_banded.select("id").distinct()
-            new_sigs = new_sigs.join(seen_ids, "id", "left_anti")
         new_banded = banded_signatures(new_sigs, num_hashes, bands).cache()
         try:
             all_banded = (
@@ -191,8 +262,16 @@ def minhash_batch_writer(
             if not sig_sink.is_committed(batch_id):
                 sig_sink.write(new_banded, batch_id)
                 sig_sink.commit(batch_id)
+            if not id_sink.is_committed(batch_id):
+                # from the CACHED banded rows -- no re-signing pass
+                id_sink.write(new_banded.select("id").distinct(), batch_id)
+                id_sink.commit(batch_id)
         finally:
             new_banded.unpersist()
+        if compact_every and len(sig_sink.committed_ids()) >= compact_every:
+            sig_sink.compact()
+            pair_sink.compact()
+            id_sink.compact()
 
     return _batch
 
@@ -208,6 +287,7 @@ def stream_minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    compact_every: int | None = 16,
 ):
     """Incremental near-duplicate detection over a transcript stream.
 
@@ -216,12 +296,18 @@ def stream_minhash_dedup(
     so far at banded-join cost (never a history x history self-join --
     earlier cross-history pairs were already emitted by earlier batches).
     Read results with :func:`blurrily_spark.streaming.sink.read_sink` on
-    ``pairs_dir`` / ``sigs_dir``.
+    ``pairs_dir`` / ``sigs_dir``. The sinks are identity-paired with
+    ``checkpoint_dir`` and compacted every ``compact_every`` batches (see
+    :func:`stream_index_build`); the already-seen membership test reads a
+    per-batch ids sidecar, never a distinct over the signature history.
     """
     src = read_transcripts_stream(spark, input_dir)
     writer = (
         src.writeStream.foreachBatch(
-            minhash_batch_writer(sigs_dir, pairs_dir, num_hashes, bands, threshold)
+            minhash_batch_writer(
+                sigs_dir, pairs_dir, num_hashes, bands, threshold,
+                checkpoint_dir, compact_every,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
     )

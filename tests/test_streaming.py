@@ -254,3 +254,155 @@ def test_stateful_conversation_progress(spark, tmp_path):
     assert set(got) == set(expected)
     for conv, n in expected.items():
         assert got[conv] == (n, n - 1)
+
+
+def test_sink_compaction_bounds_read_paths(spark, tmp_path):
+    """Round-3 verdict #1: compact() folds committed batch dirs into ONE
+    base snapshot -- identical rows, O(1) read paths, replay of a folded
+    batchId still a no-op, and post-compaction batches append normally."""
+    out = str(tmp_path / "out")
+    writer = index_batch_writer(out)
+    batches = [
+        generate_transcripts(spark, n_entities=2, seed=s, entity_offset=100 * s)
+        for s in range(3)
+    ]
+    for i, b in enumerate(batches):
+        writer(b, i)
+    sink = BatchSink(spark, out)
+    ref_sink = BatchSink(spark, out + "/_refs")
+    before_rows = {
+        (r["ref"], r["trigram"]) for r in sink.read().select("ref", "trigram").collect()
+    }
+    assert len(sink.read_paths()) == 3
+
+    assert sink.compact() and ref_sink.compact()
+    assert len(sink.read_paths()) == 1, "compaction must fold to one base path"
+    assert len(ref_sink.read_paths()) == 1
+    after_rows = {
+        (r["ref"], r["trigram"]) for r in sink.read().select("ref", "trigram").collect()
+    }
+    assert after_rows == before_rows, "compaction changed the data"
+
+    # a replayed folded batchId is STILL a no-op (watermark vouches for it)
+    assert sink.is_committed(1)
+    n = sink.read().count()
+    writer(batches[1], 1)
+    assert sink.read().count() == n
+
+    # post-compaction: new batches append; membership still blocks re-sent
+    # refs (the sidecar base carries the folded refs)
+    writer(batches[0], 3)  # all refs already known -> adds nothing
+    assert sink.read().count() == n
+    b4 = generate_transcripts(spark, n_entities=2, seed=9, entity_offset=900)
+    writer(b4, 4)
+    assert sink.read().count() > n
+    assert len(sink.read_paths()) == 3  # base + batch-3 + batch-4
+
+    # second compaction folds base + new batches into the next generation
+    assert sink.compact()
+    assert len(sink.read_paths()) == 1
+    assert sink.read().count() > n
+
+
+def test_compaction_ignores_torn_batches(spark, tmp_path):
+    """A staged-but-uncommitted batch must be invisible to compaction and
+    stay replayable afterwards."""
+    out = str(tmp_path / "out")
+    writer = index_batch_writer(out)
+    b0 = generate_transcripts(spark, n_entities=2, seed=1)
+    writer(b0, 0)
+    sink = BatchSink(spark, out)
+    n0 = sink.read().count()
+    # torn batch 1: staged, never committed
+    b1 = generate_transcripts(spark, n_entities=2, seed=2, entity_offset=50)
+    sink.write(turns_to_postings(build_turns(b1)), 1)
+    assert sink.compact()
+    assert sink.read().count() == n0, "torn batch leaked into the base"
+    assert not sink.is_committed(1)
+    writer(b1, 1)  # replay publishes it normally
+    assert sink.read().count() > n0
+
+
+def test_excluding_a_folded_batch_fails_loudly(spark, tmp_path):
+    """read(exclude=folded_id) cannot honor the exclusion (the rows are
+    inside the base) -- it must raise, not silently double-count."""
+    import pytest
+
+    out = str(tmp_path / "out")
+    writer = index_batch_writer(out)
+    writer(generate_transcripts(spark, n_entities=2, seed=1), 0)
+    sink = BatchSink(spark, out)
+    sink.compact()
+    with pytest.raises(RuntimeError, match="folded into base"):
+        sink.read(exclude=0)
+
+
+def test_sink_identity_pairing(spark, tmp_path):
+    """Round-3 ADVICE: a fresh checkpoint restarts batch ids at 0, so
+    reusing an output directory would silently drop every batch as a
+    replay. The sink claims its checkpoint as identity and refuses a
+    mismatch loudly."""
+    import pytest
+
+    from blurrily_spark.streaming.sink import SinkIdentityError
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _land(generate_transcripts(spark, n_entities=2, seed=1), src)
+    q = stream_index_build(spark, src, out, str(tmp_path / "ckpt1"), available_now=True)
+    q.awaitTermination(120)
+    n1 = read_sink(spark, out).count()
+    assert n1 > 0
+
+    # same checkpoint: restart is fine
+    q2 = stream_index_build(spark, src, out, str(tmp_path / "ckpt1"), available_now=True)
+    q2.awaitTermination(120)
+    assert read_sink(spark, out).count() == n1
+
+    # FRESH checkpoint, used output dir: the query must fail, not silently
+    # no-op every batch
+    q3 = stream_index_build(spark, src, out, str(tmp_path / "ckpt2"), available_now=True)
+    with pytest.raises(Exception, match="paired with identity"):
+        q3.awaitTermination(120)
+    assert read_sink(spark, out).count() == n1  # nothing dropped or added
+
+    # the direct writer surface raises the typed error
+    sink = BatchSink(spark, out)
+    with pytest.raises(SinkIdentityError):
+        sink.claim(str(tmp_path / "ckpt2"))
+
+
+def test_minhash_sidecar_and_compaction(spark, tmp_path):
+    """The dedup stream's already-seen membership reads the ids sidecar;
+    compaction folds sigs/pairs/ids and the next batch still dedups against
+    the whole (now-folded) history without re-emitting old pairs."""
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    writer = minhash_batch_writer(sigs, pairs, threshold=0.4, compact_every=2)
+    batch1 = generate_transcripts(spark, n_entities=3, variants_per_entity=2,
+                                  turns_per_conv=3, n_perturbations=1, seed=3)
+    writer(batch1, 0)
+    id_sink = BatchSink(spark, sigs + "/_ids")
+    assert id_sink.read() is not None
+    p1 = {(r["id_a"], r["id_b"]) for r in read_sink(spark, pairs).collect()}
+    assert p1
+
+    # batch 1 (near-dups of batch 0's entities) -> hits compact_every=2:
+    # all three sinks fold
+    batch2 = generate_transcripts(spark, n_entities=3, variants_per_entity=4,
+                                  turns_per_conv=3, n_perturbations=1, seed=3)
+    batch2 = batch2.where(batch2.conv_id.endswith("_v02") | batch2.conv_id.endswith("_v03"))
+    writer(batch2, 1)
+    sig_sink = BatchSink(spark, sigs)
+    assert len(sig_sink.read_paths()) == 1, "sigs history not compacted"
+    assert len(id_sink.read_paths()) == 1
+    all_pairs = [(r["id_a"], r["id_b"]) for r in read_sink(spark, pairs).collect()]
+    assert len(all_pairs) == len(set(all_pairs))
+    assert p1 < set(all_pairs), "cross-batch dups missing after sidecar change"
+
+    # batch 2 re-sends batch 0's rows: the folded ids sidecar blocks them
+    n_sigs = read_sink(spark, sigs).count()
+    n_pairs = len(all_pairs)
+    writer(batch1, 2)
+    assert read_sink(spark, sigs).count() == n_sigs, "seen ids re-signed"
+    assert read_sink(spark, pairs).count() == n_pairs, "duplicate pairs emitted"
