@@ -367,9 +367,106 @@ def near_dedup(
     )
 
 
+def save_banded_signatures(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    hash_fn: str = "portable",
+) -> None:
+    """Persist a reference corpus's BANDED MinHash signatures for repeated
+    :func:`near_dedup_against` batches -- the signing + banding pass over
+    the (large, stable) reference side runs once, not once per batch
+    (round-3 verdict #5).
+
+    Layout is a committed :class:`blurrily_spark.streaming.sink.BatchSink`
+    (single batch 0), so the stored table is byte-compatible with the
+    streaming dedup's signature history and readable with ``read_sink``; a
+    ``_sig_meta`` JSON records the signature parameters so loads can't be
+    silently mismatched. At cluster scale, store this bucketed by
+    ``bhash`` to make every batch's banded join shuffle-free on the
+    reference side.
+    """
+    import json
+
+    from blurrily_spark.streaming.sink import BatchSink
+
+    _require_integral_id(df, id_col, "save_banded_signatures")
+    banded = banded_signatures(
+        minhash_signatures(df, id_col, text_col, w, num_hashes, seed, hash_fn),
+        num_hashes,
+        bands,
+    ).withColumn("id", F.col("id").cast("long"))
+    sink = BatchSink(df.sparkSession, path)
+    sink.write(banded, 0)
+    sink.commit(0)
+    meta = {
+        "w": w, "num_hashes": num_hashes, "bands": bands,
+        "seed": seed, "hash_fn": hash_fn,
+    }
+    jvm = df.sparkSession._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{sink.directory}/_sig_meta")
+    sink._publish_small_file(marker, json.dumps(meta).encode("utf-8"))
+
+
+def load_banded_signatures(spark, path: str) -> tuple[DataFrame, dict]:
+    """(banded signatures, signature parameters) previously stored by
+    :func:`save_banded_signatures`. The meta dict is what the NEW side of
+    a cross-corpus dedup must be signed with -- pass it through, don't
+    guess (a w/num_hashes/seed mismatch silently destroys recall)."""
+    import json
+
+    from blurrily_spark.streaming.sink import BatchSink, _hadoop_fs
+
+    sink = BatchSink(spark, path)
+    df = sink.read()
+    if df is None:
+        raise FileNotFoundError(f"no committed banded signatures at {path!r}")
+    fs, meta_path = _hadoop_fs(spark, f"{sink.directory}/_sig_meta")
+    if not fs.exists(meta_path):
+        raise FileNotFoundError(f"missing _sig_meta at {path!r}")
+    stream = fs.open(meta_path)
+    try:
+        meta = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+    return df, meta
+
+
+def near_dedup_against_stored(
+    new_df: DataFrame,
+    ref_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`near_dedup_against` with the reference side loaded pre-banded
+    from :func:`save_banded_signatures` -- signature parameters come from
+    the stored meta, so only the NEW batch is signed. Identical output to
+    the unstored call with the same parameters."""
+    ref_banded, meta = load_banded_signatures(new_df.sparkSession, ref_path)
+    return near_dedup_against(
+        new_df,
+        None,
+        id_col=id_col,
+        text_col=text_col,
+        w=meta["w"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        threshold=threshold,
+        seed=meta["seed"],
+        hash_fn=meta["hash_fn"],
+        ref_banded=ref_banded,
+    )
+
+
 def near_dedup_against(
     new_df: DataFrame,
-    ref_df: DataFrame,
+    ref_df: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     w: int = 3,
@@ -378,6 +475,7 @@ def near_dedup_against(
     threshold: float = 0.5,
     seed: int = 7,
     hash_fn: str = "portable",
+    ref_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dedup: flag documents of ``new_df`` that
     near-duplicate any document of ``ref_df`` (a fresh crawl against the
@@ -396,22 +494,32 @@ def near_dedup_against(
     collisions, never |new| x |ref|; candidates are thresholded *before*
     any aggregation, and the best match is a single max(struct) aggregate
     -- duplicate band hits for one pair need no dedup shuffle, the max
-    absorbs them. For repeated batches against one reference corpus,
-    persist the banded reference side (or use the streaming variant,
-    which stores it pre-banded).
+    absorbs them. For repeated batches against one reference corpus, store
+    the reference side once with :func:`save_banded_signatures` and batch
+    through :func:`near_dedup_against_stored` (or pass ``ref_banded``
+    directly) -- the reference is never re-signed; the streaming variant
+    keeps the same layout incrementally.
     """
     _require_integral_id(new_df, id_col, "near_dedup_against")
-    _require_integral_id(ref_df, id_col, "near_dedup_against")
     sn = banded_signatures(
         minhash_signatures(new_df, id_col, text_col, w, num_hashes, seed, hash_fn),
         num_hashes,
         bands,
     ).withColumn("id", F.col("id").cast("long"))
-    sr = banded_signatures(
-        minhash_signatures(ref_df, id_col, text_col, w, num_hashes, seed, hash_fn),
-        num_hashes,
-        bands,
-    ).withColumn("id", F.col("id").cast("long"))
+    if ref_banded is not None:
+        # pre-banded reference (save_banded_signatures / streaming history)
+        # -- the caller (or near_dedup_against_stored's meta) guarantees the
+        # signature parameters match the ones used here for the new side
+        sr = ref_banded
+    else:
+        if ref_df is None:
+            raise ValueError("near_dedup_against needs ref_df or ref_banded")
+        _require_integral_id(ref_df, id_col, "near_dedup_against")
+        sr = banded_signatures(
+            minhash_signatures(ref_df, id_col, text_col, w, num_hashes, seed, hash_fn),
+            num_hashes,
+            bands,
+        ).withColumn("id", F.col("id").cast("long"))
     cand = _banded_candidates(
         sn, sr, num_hashes, bands, left_id="new_id", right_id="ref_id"
     ).where(F.col("est_jaccard") >= threshold)

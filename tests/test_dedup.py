@@ -209,3 +209,50 @@ def test_near_dedup_randomized_planted_groups(spark):
     assert {i: r["keep_id"] for i, r in got.items()} == expected_keeper
     for i, r in got.items():
         assert r["is_dup"] == (1 if expected_keeper[i] != i else 0)
+
+
+def test_stored_banded_reference_skips_resigning(spark, tmp_path, monkeypatch):
+    """Round-3 verdict #5: save_banded_signatures persists the reference
+    side once; near_dedup_against_stored signs ONLY the new batch
+    (call-count pin) and returns output identical to the unstored call."""
+    ref = spark.createDataFrame([(10, BASE), (11, UNIQUE)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, BASE[: int(len(BASE) * 0.9)]), (2, "entirely fresh content here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ref_sigs")
+    dedup.save_banded_signatures(ref, path, num_hashes=16, bands=4, seed=11)
+
+    direct = sorted(
+        dedup.near_dedup_against(
+            new, ref, num_hashes=16, bands=4, seed=11
+        ).collect(),
+        key=lambda r: r["id"],
+    )
+
+    calls: list[str] = []
+    real_sig = dedup.minhash_signatures
+
+    def counting_sig(df, *a, **k):
+        calls.append("sig")
+        return real_sig(df, *a, **k)
+
+    monkeypatch.setattr(dedup, "minhash_signatures", counting_sig)
+    stored = sorted(
+        dedup.near_dedup_against_stored(new, path).collect(),
+        key=lambda r: r["id"],
+    )
+    assert len(calls) == 1, "reference side was re-signed"
+    assert [tuple(r) for r in stored] == [tuple(r) for r in direct]
+
+    # stored meta drives the new side's parameters (w/num_hashes/seed):
+    # a default-parameter direct call would NOT match this output shape
+    _, meta = dedup.load_banded_signatures(spark, path)
+    assert meta["num_hashes"] == 16 and meta["bands"] == 4 and meta["seed"] == 11
+
+
+def test_load_banded_signatures_guards(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        dedup.load_banded_signatures(spark, str(tmp_path / "nope"))
