@@ -209,6 +209,18 @@ def q_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(_docs_with_dups(spark, sf_dir), w=SPAN_W)
 
 
+def q_duplicate_span_positions(spark, sf_dir):
+    # per-occurrence cut points (id, start_word, win) of duplicated spans
+    return dedup.duplicate_span_positions(_docs_with_dups(spark, sf_dir), w=SPAN_W)
+
+
+def q_cut_duplicate_spans(spark, sf_dir):
+    # the cut-and-keep pass: duplicated spans removed, remainder reassembled
+    return dedup.cut_duplicate_spans(
+        _docs_with_dups(spark, sf_dir), w=SPAN_W, hash_fn="exact"
+    )
+
+
 def q_simhash_fp(spark, sf_dir):
     return dedup.simhash62(_docs_with_dups(spark, sf_dir)).select("id", "simhash")
 
@@ -447,6 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup": q_near_dedup,
         "near_dedup_cross": q_near_dedup_cross,
         "duplicate_spans": q_duplicate_spans,
+        "duplicate_span_positions": q_duplicate_span_positions,
+        "cut_duplicate_spans": q_cut_duplicate_spans,
         "simhash_fingerprints": q_simhash_fp,
         "simhash_near_dups": q_simhash,
         "token_count": q_token_count,
@@ -614,6 +628,33 @@ SELECT t.ref AS id,
        CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
        round(coalesce(d.n_dup, 0) / t.n_windows, 6) AS dup_fraction
 FROM tot t LEFT JOIN dup d ON d.ref = t.ref"""
+
+    # shared CTE prefix for the two span-cut queries: windows WITH their
+    # 1-based start offsets, and the cross-document duplicated window set
+    span_pos_ctes = f"""{oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+words AS (SELECT ref, string_split(norm, ' ') AS ws FROM hay_norm),
+wins AS (
+  SELECT w.ref, t.i, array_to_string(w.ws[t.i : t.i + {SPAN_W - 1}], ' ') AS win
+  FROM words w,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w.ws) - {SPAN_W} + 1, 1))) AS i) t
+),
+dupw AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT ref) >= 2),
+pos AS (SELECT w.ref, w.i, w.win FROM wins w WHERE w.win IN (SELECT win FROM dupw))"""
+
+    out["duplicate_span_positions"] = f"""WITH {span_pos_ctes}
+SELECT ref AS id, CAST(i - 1 AS INT) AS start_word, win FROM pos"""
+
+    out["cut_duplicate_spans"] = f"""WITH {span_pos_ctes},
+cov AS (
+  SELECT DISTINCT p.ref, t.p
+  FROM pos p, LATERAL (SELECT unnest(generate_series(p.i, p.i + {SPAN_W - 1})) AS p) t
+),
+covlist AS (SELECT ref, list(p) AS ps FROM cov GROUP BY ref)
+SELECT wd.ref AS id,
+       coalesce(array_to_string(list_filter(wd.ws, (x, i) -> c.ps IS NULL OR NOT list_contains(c.ps, i)), ' '), '') AS kept_text,
+       CAST(len(wd.ws) AS BIGINT) AS n_words,
+       CAST(len(list_filter(wd.ws, (x, i) -> c.ps IS NULL OR NOT list_contains(c.ps, i))) AS BIGINT) AS n_kept_words
+FROM words wd LEFT JOIN covlist c ON c.ref = wd.ref"""
 
     out["simhash_fingerprints"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
 {oracle.simhash_ctes('hay')}

@@ -630,6 +630,119 @@ def duplicate_spans(
     )
 
 
+def duplicate_span_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+    hash_fn: str = "exact",
+    stride: int = 1,
+) -> DataFrame:
+    """Per-span cut points for :func:`duplicate_spans` (round-3 verdict
+    #7): one row per OCCURRENCE of a duplicated window --
+    ``(id, start_word, win)`` with ``start_word`` the 0-based word offset
+    of the window in the document's normalized text. This is the input a
+    cut-and-keep pass needs to actually REMOVE duplicated spans
+    (:func:`cut_duplicate_spans`), completing the Lee et al. ACL 2022
+    substring-dedup story beyond per-doc statistics.
+
+    Same scale shape as :func:`duplicate_spans`: explode (~n_words/stride
+    rows per doc), one document-frequency aggregation over window keys,
+    one semi-join back -- all equi-key, never pairwise. ``hash_fn='fast'``
+    ships 8-byte keys through the frequency shuffle (the win string is
+    still carried to the output for the cutter); 'exact' keys by the raw
+    window so the DuckDB oracle reproduces rows bit-for-bit.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    d = _norm_col(df, text_col)
+    words = F.split(F.col("_norm"), " ")
+    n = F.size(words)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)), F.lit(stride)),
+        lambda i: F.struct(
+            i.cast("int").alias("start"),
+            F.concat_ws(" ", F.slice(words, i + F.lit(1), w)).alias("win"),
+        ),
+    )
+    exploded = d.select(
+        F.col(id_col).cast("long").alias("id"), F.explode(wins).alias("s")
+    ).select("id", F.col("s.start").alias("start_word"), F.col("s.win").alias("win"))
+    key = F.xxhash64("win") if hash_fn == "fast" else F.col("win")
+    keyed = exploded.withColumn("wk", key)
+    dup_keys = (
+        keyed.groupBy("wk")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("wk")
+    )
+    return keyed.join(dup_keys, "wk", "left_semi").select("id", "start_word", "win")
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+    hash_fn: str = "fast",
+    stride: int = 1,
+) -> DataFrame:
+    """Cut-and-keep pass: remove every word covered by a duplicated
+    ``w``-word window and reassemble the remaining text in order.
+
+    Returns one row per input document:
+    ``(id, kept_text, n_words, n_kept_words)`` -- a fully-duplicated
+    document keeps an empty string (the cross-doc boilerplate is gone;
+    doc-level dedup would instead have dropped whole documents that also
+    carried unique content).
+
+    Scale shape: duplicated occurrences -> covered word positions
+    (explode of at most w per occurrence, deduped on (id, pos)) -> one
+    anti-join against the document's indexed words -> one per-doc
+    aggregation that rebuilds the text (sort_array over (pos, word)
+    structs; bounded by the document length, which the input row already
+    holds). No pairwise work anywhere.
+    """
+    positions = duplicate_span_positions(
+        df, id_col, text_col, w, min_docs, hash_fn, stride
+    )
+    d = _norm_col(df, text_col)
+    words = F.split(F.col("_norm"), " ")
+    wordpos = d.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(words).alias("pos", "word"),
+    )
+    covered = positions.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("start_word"), F.col("start_word") + F.lit(w - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = wordpos.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept_words"),
+    )
+    totals = d.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        "n_words",
+        F.coalesce("n_kept_words", F.lit(0)).alias("n_kept_words"),
+    )
+
+
 def _token_hashes(df_tok: DataFrame, hash_fn: str) -> DataFrame:
     """Adds 62 bit sources: columns h1 (bits 0..30) and h2 (bits 31..61)."""
     if hash_fn == "fast":

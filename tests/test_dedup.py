@@ -256,3 +256,96 @@ def test_load_banded_signatures_guards(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         dedup.load_banded_signatures(spark, str(tmp_path / "nope"))
+
+
+def _span_oracle(texts: dict[int, str], w: int, min_docs: int, stride: int = 1):
+    """Pure-Python oracle: windows per doc (with offsets), dup-window set,
+    covered positions, and kept text -- mirrors normalize + clamp rules."""
+    from blurrily_spark.functions.tokenizer import normalize_py
+
+    wins: dict[int, list[tuple[int, str]]] = {}
+    for i, t in texts.items():
+        ws = normalize_py(t).split(" ")
+        n = len(ws)
+        starts = list(range(0, max(n - w, 0) + 1, stride))
+        wins[i] = [(s, " ".join(ws[s : s + w])) for s in starts]
+    from collections import Counter
+
+    docs_per_win = Counter()
+    for i, lst in wins.items():
+        for win in {win for _, win in lst}:
+            docs_per_win[win] += 1
+    dup = {win for win, c in docs_per_win.items() if c >= min_docs}
+    positions = {
+        (i, s, win) for i, lst in wins.items() for (s, win) in lst if win in dup
+    }
+    kept = {}
+    for i, t in texts.items():
+        ws = normalize_py(t).split(" ")
+        covered = set()
+        for (j, s, win) in positions:
+            if j == i:
+                covered.update(range(s, min(s + w, len(ws))))
+        kept_words = [wd for p, wd in enumerate(ws) if p not in covered]
+        kept[i] = (" ".join(kept_words), len(ws), len(kept_words))
+    return positions, kept
+
+
+def test_span_positions_and_cut_golden(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    texts = {
+        1: f"one unique prefix here {shared} and a unique tail one",
+        2: f"totally different opener {shared} closing words differ two",
+        3: "no overlap with anyone at all in this document text",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    exp_pos, exp_kept = _span_oracle(texts, w=8, min_docs=2)
+    got_pos = {
+        (r["id"], r["start_word"], r["win"])
+        for r in dedup.duplicate_span_positions(df, w=8).collect()
+    }
+    assert got_pos == exp_pos
+    assert any(r[0] == 1 for r in got_pos) and any(r[0] == 2 for r in got_pos)
+    got_kept = {
+        r["id"]: (r["kept_text"], r["n_words"], r["n_kept_words"])
+        for r in dedup.cut_duplicate_spans(df, w=8, hash_fn="exact").collect()
+    }
+    assert got_kept == exp_kept
+    assert got_kept[3][2] == got_kept[3][1]  # doc 3 untouched: nothing cut
+
+
+def test_span_cut_randomized_python_oracle(spark):
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40)))
+            for i in range(14)
+        }
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        w, stride = rng.choice([(4, 1), (5, 2), (3, 1)])
+        exp_pos, exp_kept = _span_oracle(texts, w=w, min_docs=2, stride=stride)
+        got_pos = {
+            (r["id"], r["start_word"], r["win"])
+            for r in dedup.duplicate_span_positions(
+                df, w=w, stride=stride
+            ).collect()
+        }
+        assert got_pos == exp_pos, f"positions mismatch (trial {trial}, w={w})"
+        got_kept = {
+            r["id"]: (r["kept_text"], r["n_words"], r["n_kept_words"])
+            for r in dedup.cut_duplicate_spans(
+                df, w=w, stride=stride, hash_fn="fast"
+            ).collect()
+        }
+        assert got_kept == exp_kept, f"kept-text mismatch (trial {trial}, w={w})"
+
+
+def test_fully_duplicated_doc_cuts_to_empty(spark):
+    same = "exact same words in both documents for the whole text body"
+    df = spark.createDataFrame([(1, same), (2, same)], "doc_id long, text string")
+    got = {r["id"]: r for r in dedup.cut_duplicate_spans(df, w=5).collect()}
+    assert got[1]["kept_text"] == "" and got[1]["n_kept_words"] == 0
+    assert got[2]["kept_text"] == "" and got[2]["n_words"] > 0
