@@ -408,9 +408,11 @@ def save_banded_signatures(
         "w": w, "num_hashes": num_hashes, "bands": bands,
         "seed": seed, "hash_fn": hash_fn,
     }
-    jvm = df.sparkSession._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(f"{sink.directory}/_sig_meta")
-    sink._publish_small_file(marker, json.dumps(meta).encode("utf-8"))
+    from blurrily_spark.streaming.sink import publish_small_file
+
+    publish_small_file(
+        df.sparkSession, f"{sink.directory}/_sig_meta", json.dumps(meta).encode("utf-8")
+    )
 
 
 def load_banded_signatures(spark, path: str) -> tuple[DataFrame, dict]:
@@ -420,20 +422,16 @@ def load_banded_signatures(spark, path: str) -> tuple[DataFrame, dict]:
     guess (a w/num_hashes/seed mismatch silently destroys recall)."""
     import json
 
-    from blurrily_spark.streaming.sink import BatchSink, _hadoop_fs
+    from blurrily_spark.streaming.sink import BatchSink, read_small_file
 
     sink = BatchSink(spark, path)
     df = sink.read()
     if df is None:
         raise FileNotFoundError(f"no committed banded signatures at {path!r}")
-    fs, meta_path = _hadoop_fs(spark, f"{sink.directory}/_sig_meta")
-    if not fs.exists(meta_path):
+    raw = read_small_file(spark, f"{sink.directory}/_sig_meta")
+    if raw is None:
         raise FileNotFoundError(f"missing _sig_meta at {path!r}")
-    stream = fs.open(meta_path)
-    try:
-        meta = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
-    finally:
-        stream.close()
+    meta = json.loads(raw.decode("utf-8"))
     return df, meta
 
 

@@ -75,6 +75,38 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def publish_small_file(spark: SparkSession, hpath, payload: bytes) -> None:
+    """Atomically publish a small metadata file: write to a dotted tmp
+    sibling, then rename into place (readers never see a torn file).
+    ``hpath`` is a Hadoop Path or a path string."""
+    jvm = spark._jvm
+    if isinstance(hpath, str):
+        hpath = jvm.org.apache.hadoop.fs.Path(hpath)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(hpath.getParent())
+    tmp = jvm.org.apache.hadoop.fs.Path(hpath.getParent(), f".tmp-{hpath.getName()}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
+
+
+def read_small_file(spark: SparkSession, path: str) -> bytes | None:
+    """Contents of a small metadata file, or None when absent."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+
+
 class SinkIdentityError(RuntimeError):
     """The sink directory is already paired with a different query
     identity (checkpoint location). Reusing an output directory with a
@@ -137,13 +169,9 @@ class BatchSink:
         against reusing an output directory with a fresh checkpoint,
         where restarted batch ids (0, 1, ...) would all look like replays
         of long-gone batches and be silently dropped."""
-        fs, ident_path = _hadoop_fs(self.spark, f"{self.directory}/_identity")
-        if fs.exists(ident_path):
-            stream = fs.open(ident_path)
-            try:
-                existing = bytes(stream.readAllBytes()).decode("utf-8")
-            finally:
-                stream.close()
+        raw = read_small_file(self.spark, f"{self.directory}/_identity")
+        if raw is not None:
+            existing = raw.decode("utf-8")
             if existing != identity:
                 raise SinkIdentityError(
                     f"sink {self.directory!r} is paired with identity "
@@ -153,25 +181,10 @@ class BatchSink:
                     "delete BOTH to start over)"
                 )
             return
-        self._publish_small_file(ident_path, identity.encode("utf-8"))
+        publish_small_file(self.spark, f"{self.directory}/_identity", identity.encode("utf-8"))
 
     def _publish_small_file(self, hpath, payload: bytes) -> None:
-        """Atomically publish a small metadata file: write to a dotted tmp
-        sibling, then rename into place (readers never see a torn file)."""
-        jvm = self.spark._jvm
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        fs.mkdirs(hpath.getParent())
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            hpath.getParent(), f".tmp-{hpath.getName()}"
-        )
-        out = fs.create(tmp, True)
-        try:
-            out.write(payload)
-        finally:
-            out.close()
-        if fs.exists(hpath):
-            fs.delete(hpath, False)
-        fs.rename(tmp, hpath)
+        publish_small_file(self.spark, hpath, payload)
 
     # -- read side -----------------------------------------------------------
 
@@ -201,13 +214,8 @@ class BatchSink:
                 best_gen = int(name)
         if best_gen is None:
             return None, -1
-        jvm = self.spark._jvm
-        marker = jvm.org.apache.hadoop.fs.Path(f"{self.base_marker_dir}/{best_gen}")
-        stream = fs.open(marker)
-        try:
-            folded_through = int(bytes(stream.readAllBytes()).decode("utf-8"))
-        finally:
-            stream.close()
+        raw = read_small_file(self.spark, f"{self.base_marker_dir}/{best_gen}")
+        folded_through = int(raw.decode("utf-8"))
         return best_gen, folded_through
 
     def read_paths(self, exclude: int | None = None) -> list[str]:
@@ -286,9 +294,9 @@ class BatchSink:
         new_gen = (gen or 0) + 1
         new_folded = max(batch_ids) if batch_ids else folded_through
         df.write.mode("overwrite").parquet(self.base_path(new_gen))
-        jvm = self.spark._jvm
-        marker = jvm.org.apache.hadoop.fs.Path(f"{self.base_marker_dir}/{new_gen}")
-        self._publish_small_file(marker, str(new_folded).encode("utf-8"))
+        publish_small_file(
+            self.spark, f"{self.base_marker_dir}/{new_gen}", str(new_folded).encode("utf-8")
+        )
         # -- GC (pure cleanup; every read below already ignores these) ------
         fs, _ = _hadoop_fs(self.spark, self.directory)
         for i in batch_ids:
@@ -299,7 +307,7 @@ class BatchSink:
         if gen is not None:
             _, old_base = _hadoop_fs(self.spark, self.base_path(gen))
             fs.delete(old_base, True)
-            old_marker = jvm.org.apache.hadoop.fs.Path(f"{self.base_marker_dir}/{gen}")
+            _, old_marker = _hadoop_fs(self.spark, f"{self.base_marker_dir}/{gen}")
             fs.delete(old_marker, False)
         return True
 

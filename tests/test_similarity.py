@@ -136,3 +136,63 @@ def test_maxmin_sampled_seeding_deterministic_and_recall(spark, emb):
     got = {(r["query_id"], r["vec_id"])
            for r in similarity.ivf_topk(corpus, q, cents, k=5, nprobe=em.ANN_NPROBE).collect()}
     assert len(got & bf) / len(bf) >= 0.9
+
+
+def test_stored_ivf_partition_pruning_and_equality(spark, emb, tmp_path):
+    """Round-3 verdict #4: the stored IVF layout delivers the docstring's
+    promise -- a probe against save_ivf_index's partitionBy(bucket) table
+    scans ONLY the probed buckets' files (directory pruning = inverted-list
+    lookup) and returns results identical to the in-memory ivf_topk."""
+    corpus, q = _split(emb)
+    cents = similarity.take_centroids(corpus, 8)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(corpus, path, cents)
+
+    expected = {
+        (r["query_id"], r["vec_id"], round(r["cos"], 9), r["rank"])
+        for r in similarity.ivf_topk(corpus, q, cents, k=5, nprobe=2).collect()
+    }
+    got_df = similarity.ivf_topk_stored(spark, path, q, k=5, nprobe=2)
+    got = {
+        (r["query_id"], r["vec_id"], round(r["cos"], 9), r["rank"])
+        for r in got_df.collect()
+    }
+    assert got == expected
+
+    # pruning: with a small query batch and nprobe=1 only a few buckets are
+    # probed -- assert the scan's input files all come from those bucket
+    # directories and that unprobed bucket directories exist and were NOT
+    # touched (this near-isotropic corpus probes ALL buckets at the larger
+    # batch above, which is a recall property, not a pruning failure)
+    q_small = q.where(F.col("query_id") < 2)
+    sg = similarity.ivf_topk_stored(spark, path, q_small, k=5, nprobe=1)
+    assert sg.count() > 0
+    centroids = similarity.load_ivf_codebook(spark, path)
+    probed = set()
+    for r in q_small.collect():
+        probed.update(
+            similarity._probe_buckets(list(map(float, r["query_vec"])), centroids, 1)
+        )
+    all_buckets = {
+        r["bucket"] for r in spark.read.parquet(path).select("bucket").distinct().collect()
+    }
+    assert probed < all_buckets, "test needs unprobed buckets to prove pruning"
+    # plan-level: the scan carries the bucket IN (...) as a PARTITION filter
+    # (directory pruning), not a post-scan data filter
+    pruned = spark.read.parquet(path).where(F.col("bucket").isin(sorted(probed)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1]
+    small_expected = {
+        (r["query_id"], r["vec_id"], round(r["cos"], 9)) for r in sg.collect()
+    }
+    # behavioral: DELETE every unprobed bucket directory -- the stored probe
+    # must not notice (its answer never touches unprobed inverted lists)
+    import shutil
+
+    for b in all_buckets - probed:
+        shutil.rmtree(str(tmp_path / "ivf" / f"bucket={b}"))
+    again = {
+        (r["query_id"], r["vec_id"], round(r["cos"], 9))
+        for r in similarity.ivf_topk_stored(spark, path, q_small, k=5, nprobe=1).collect()
+    }
+    assert again == small_expected
