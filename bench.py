@@ -23,6 +23,10 @@ Queries:
   q_duplicate_spans -- span-level dup stats (rolling window fingerprints),
                       fast-hash SF-scaled corpus
   q_simhash        -- SimHash near-dups, same fast-hash SF-scaled corpus
+  q_near_dedup_cross -- cross-corpus dedup: the SF's truncated-dup batch
+                        vs the original documents (oriented banded join)
+  q_cut_spans      -- span cut-and-keep pass (duplicated windows removed,
+                      text rebuilt), fast-hash SF-scaled corpus
   q_cosine_topk    -- brute-force embedding top-k
   q_ann_ivf        -- IVF ANN top-k (trained codebook; recall@5 vs brute
                       force reported as ann_recall_at5)
@@ -192,6 +196,27 @@ def main() -> None:
         lambda: dedup.simhash_near_dups(
             sketch_corpus, max_hamming=6, hash_fn="fast"
         ).count(),
+    )
+    # round 4: cross-corpus dedup (fresh batch vs retained corpus) and the
+    # span cut-and-keep pass, both on the production hash family
+    docs_only = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    new_batch = em._truncated_dups(docs_only, offset=10_000_000)
+    timed(
+        "q_near_dedup_cross",
+        lambda: dedup.near_dedup_against(
+            new_batch, docs_only, threshold=0.5, hash_fn="fast"
+        )
+        .where("is_dup = 1")
+        .count(),
+    )
+    timed(
+        "q_cut_spans",
+        # sum of kept lengths forces the full rebuild, not just row counting
+        lambda: dedup.cut_duplicate_spans(sketch_corpus, hash_fn="fast")
+        .selectExpr("sum(length(kept_text))")
+        .collect(),
     )
     timed("q_cosine_topk", lambda: em.q_cosine_topk(spark, SF_DIR).count())
     timed("q_rp_lsh_near_dups", lambda: em.q_rp_lsh_near_dups(spark, SF_DIR).count())
