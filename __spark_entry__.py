@@ -234,6 +234,21 @@ def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition filters; every 7th doc gets its text doubled
+    # across a newline so dup-line/dup-trigram signals have true positives
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textstats.repetition_stats(docs)
+
+
 def q_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
 
@@ -464,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fp,
         "simhash_near_dups": q_simhash,
         "token_count": q_token_count,
+        "repetition_stats": q_repetition_stats,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -666,6 +682,51 @@ SELECT a.ref AS id_a, b.ref AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM hay_fp a JOIN hay_fp b ON a.ref < b.ref
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
+
+    rep_corpus = """(SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || text ELSE text END AS text
+  FROM documents)"""
+    out["repetition_stats"] = f"""WITH {oracle.norm_cte('hay', rep_corpus, 'doc_id', 'text')},
+raw AS (SELECT doc_id AS ref, text FROM {rep_corpus} r),
+lns AS (
+  SELECT ref,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM raw
+),
+linestats AS (
+  SELECT ref, len(ls) AS n_lines,
+         CASE WHEN len(ls) > 0
+              THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+              ELSE 0.0 END AS dlf
+  FROM lns
+),
+words AS (SELECT ref, string_split(norm, ' ') AS ws FROM hay_norm),
+w1c AS (SELECT ref, w, count(*) AS c
+        FROM (SELECT ref, unnest(ws) AS w FROM words) GROUP BY ref, w),
+w1 AS (SELECT ref, sum(c) AS n_words, max(c) AS topc FROM w1c GROUP BY ref),
+bg AS (SELECT w.ref, array_to_string(w.ws[t.i : t.i + 1], ' ') AS g
+       FROM words w,
+            LATERAL (SELECT unnest(generate_series(1, len(w.ws) - 1)) AS i) t
+       WHERE len(w.ws) >= 2),
+w2c AS (SELECT ref, g, count(*) AS c FROM bg GROUP BY ref, g),
+w2 AS (SELECT ref, max(c) / CAST(sum(c) AS DOUBLE) AS tbf FROM w2c GROUP BY ref),
+tg AS (SELECT w.ref, array_to_string(w.ws[t.i : t.i + 2], ' ') AS g
+       FROM words w,
+            LATERAL (SELECT unnest(generate_series(1, len(w.ws) - 2)) AS i) t
+       WHERE len(w.ws) >= 3),
+w3c AS (SELECT ref, g, count(*) AS c FROM tg GROUP BY ref, g),
+w3 AS (SELECT ref, sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dtf
+       FROM w3c GROUP BY ref)
+SELECT l.ref AS id,
+       CAST(l.n_lines AS INT) AS n_lines,
+       round(l.dlf, 6) AS dup_line_frac,
+       CAST(w1.n_words AS BIGINT) AS n_words,
+       round(w1.topc / CAST(w1.n_words AS DOUBLE), 6) AS top_word_frac,
+       round(coalesce(w2.tbf, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(w3.dtf, 0.0), 6) AS dup_trigram_frac
+FROM linestats l JOIN w1 ON w1.ref = l.ref
+LEFT JOIN w2 ON w2.ref = l.ref LEFT JOIN w3 ON w3.ref = l.ref"""
 
     out["token_count"] = """SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,

@@ -102,6 +102,105 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def _word_grams(words, n: int):
+    """Adjacent word n-grams as array<string>; empty when len < n."""
+    sz = F.size(words)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals -- the Gopher/MassiveText-style
+    repetition filters (Rae et al. 2021, Table A1) a training-data pipeline
+    gates on before anything model-based:
+
+    * ``dup_line_frac``      -- duplicated lines / lines (non-empty,
+      trimmed, raw text): boilerplate, chat spam, scraped nav bars;
+    * ``top_word_frac``      -- occurrences of the most frequent word /
+      words (normalized text): keyword stuffing;
+    * ``top_bigram_frac``    -- same for adjacent word bigrams;
+    * ``dup_trigram_frac``   -- occurrences belonging to any trigram that
+      appears more than once / trigrams: loops and template repetition.
+
+    Returns one row per document: ``(id, n_lines, dup_line_frac, n_words,
+    top_word_frac, top_bigram_frac, dup_trigram_frac)`` -- filter e.g.
+    ``dup_line_frac > 0.3 OR top_bigram_frac > 0.2`` per the published
+    thresholds (tuning is a modeling question; the engine op is the
+    per-doc statistics).
+
+    Scale shape: line stats are pure per-row HOFs (no shuffle); the three
+    gram statistics are explode -> groupBy(id, gram) -> groupBy(id), all
+    equi-key on (id, gram) -- per-document work, never cross-document, so
+    the shuffles partition perfectly by document at any corpus size.
+    """
+    d = with_normalized(df, text_col, "_norm", adaptive="auto")
+    words = F.split(F.col("_norm"), " ")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    base = d.select(
+        F.col(id_col).alias("id"),
+        words.alias("_ws"),
+        n_lines.cast("int").alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+    )
+
+    def gram_agg(n: int, top: bool):
+        grams = F.col("_ws") if n == 1 else _word_grams(F.col("_ws"), n)
+        ex = base.select("id", F.explode(grams).alias("g"))
+        cnt = ex.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        aggs = [F.sum("c").alias("tot")]
+        if top:
+            aggs.append(F.max("c").alias("top"))
+        else:
+            aggs.append(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup")
+            )
+        return cnt.groupBy("id").agg(*aggs)
+
+    w1 = gram_agg(1, top=True).select(
+        "id",
+        F.col("tot").cast("long").alias("n_words"),
+        F.round(F.col("top") / F.col("tot").cast("double"), 6).alias("top_word_frac"),
+    )
+    w2 = gram_agg(2, top=True).select(
+        "id",
+        F.round(F.col("top") / F.col("tot").cast("double"), 6).alias("top_bigram_frac"),
+    )
+    w3 = gram_agg(3, top=False).select(
+        "id",
+        F.round(F.col("dup") / F.col("tot").cast("double"), 6).alias("dup_trigram_frac"),
+    )
+    return (
+        base.select("id", "n_lines", "dup_line_frac")
+        .join(w1, "id")
+        .join(w2, "id", "left")
+        .join(w3, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            "dup_line_frac",
+            "n_words",
+            "top_word_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Polynomial rolling-hash fingerprint of the *normalized* text.
 

@@ -1,0 +1,50 @@
+"""Repetition-filter statistics (Gopher/MassiveText-style signals)."""
+
+from __future__ import annotations
+
+from blurrily_spark.operators.textstats import repetition_stats
+
+
+def _stats(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["id"]: r for r in repetition_stats(df).collect()}
+
+
+def test_repetition_stats_goldens(spark):
+    got = _stats(
+        spark,
+        [
+            # 3 lines, one duplicated -> dup_line_frac 1/3; 'spam' stuffed
+            (1, "spam spam spam eggs\nham and eggs\nspam spam spam eggs"),
+            # clean doc: all words distinct, nothing repeats
+            (2, "every word here appears exactly once friend"),
+            # single word repeated: top_word_frac 1.0, all trigrams dup
+            (3, "go go go go go go"),
+        ],
+    )
+    r1 = got[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - 1 / 3) < 1e-6
+    assert r1["n_words"] == 11
+    assert abs(r1["top_word_frac"] - 6 / 11) < 1e-6  # 'spam' x6
+    # normalized text joins lines with a space, so bigrams cross line
+    # boundaries: 10 bigrams total, 'spam spam' occurs 4x
+    assert abs(r1["top_bigram_frac"] - 4 / 10) < 1e-6
+
+    r2 = got[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert abs(r2["top_word_frac"] - 1 / 7) < 1e-6
+    assert r2["dup_trigram_frac"] == 0.0
+
+    r3 = got[3]
+    assert r3["top_word_frac"] == 1.0
+    assert r3["top_bigram_frac"] == 1.0
+    assert r3["dup_trigram_frac"] == 1.0  # 'go go go' x4, all dup mass
+
+
+def test_repetition_stats_short_docs(spark):
+    got = _stats(spark, [(1, "one"), (2, "two words")])
+    assert got[1]["top_bigram_frac"] == 0.0  # no bigrams
+    assert got[1]["dup_trigram_frac"] == 0.0
+    assert got[2]["n_words"] == 2
+    assert got[2]["top_bigram_frac"] == 1.0  # exactly one bigram
