@@ -234,6 +234,29 @@ def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
 
+def q_scrub_pii(spark, sf_dir):
+    # PII scrub; every 5th doc gets a deterministic URL+email+IP payload so
+    # each pattern has true positives
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://ex.example/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" from 10.0.0."),
+                (F.col("doc_id") % 255).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textstats.scrub_pii(docs)
+
+
 def q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition filters; every 7th doc gets its text doubled
     # across a newline so dup-line/dup-trigram signals have true positives
@@ -480,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash,
         "token_count": q_token_count,
         "repetition_stats": q_repetition_stats,
+        "scrub_pii": q_scrub_pii,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -682,6 +706,32 @@ SELECT a.ref AS id_a, b.ref AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM hay_fp a JOIN hay_fp b ON a.ref < b.ref
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
+
+    # staged scrub: each count is taken on the text the NEXT replacement
+    # runs on, mirroring textstats.scrub_pii's fold order (URL > email > IP)
+    from blurrily_spark.operators.textstats import PII_PATTERNS
+
+    (url_re, url_tok), (em_re, em_tok), (ip_re, ip_tok) = [
+        (p, t) for _, p, t in PII_PATTERNS
+    ]
+    out["scrub_pii"] = f"""WITH s0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com via https://ex.example/p/' || CAST(doc_id AS VARCHAR)
+      || ' from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+    ELSE text END AS text
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{url_re}')) AS INT) AS n_urls,
+  regexp_replace(text, '{url_re}', '{url_tok}', 'g') AS text FROM s0),
+s2 AS (SELECT doc_id, n_urls,
+  CAST(len(regexp_extract_all(text, '{em_re}')) AS INT) AS n_emails,
+  regexp_replace(text, '{em_re}', '{em_tok}', 'g') AS text FROM s1),
+s3 AS (SELECT doc_id, n_urls, n_emails,
+  CAST(len(regexp_extract_all(text, '{ip_re}')) AS INT) AS n_ipv4,
+  regexp_replace(text, '{ip_re}', '{ip_tok}', 'g') AS text FROM s2)
+SELECT doc_id, text AS clean_text, n_urls, n_emails, n_ipv4 FROM s3"""
 
     rep_corpus = """(SELECT doc_id,
   CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || text ELSE text END AS text

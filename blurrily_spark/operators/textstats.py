@@ -102,6 +102,41 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+# PII / link scrubbing patterns -- deliberately plain RE2-compatible
+# character classes so the Spark (Java regex) and DuckDB (RE2) engines
+# match byte-for-byte. Application order matters and is fixed: URLs first
+# (an email inside a URL query string is part of the URL), then emails,
+# then bare IPv4s.
+PII_PATTERNS = [
+    ("url", "https?://[^ \\t\\n]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+]
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact links and simple PII before training: URLs, email addresses,
+    bare IPv4 literals, each replaced by a typed placeholder token.
+
+    Returns ``(id, clean_text, n_urls, n_emails, n_ipv4)``. One projection,
+    pure codegen'd regexp_replace/extract -- no Python, no shuffle; the
+    pattern list is ordered (URL > email > IPv4) so nested matches resolve
+    deterministically, and counts are taken from the SAME intermediate the
+    next replacement runs on. Real deployments extend PII_PATTERNS (phone
+    formats, national IDs) -- the engine op is the single-scan scrub.
+    """
+    txt = F.col(text_col)
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(txt, F.lit(pattern), 0))
+            .cast("int")
+            .alias(f"n_{name}s" if not name.endswith("4") else f"n_{name}")
+        )
+        txt = F.regexp_replace(txt, pattern, token)
+    return df.select(F.col(id_col), txt.alias("clean_text"), *counts)
+
+
 def _word_grams(words, n: int):
     """Adjacent word n-grams as array<string>; empty when len < n."""
     sz = F.size(words)

@@ -48,3 +48,23 @@ def test_repetition_stats_short_docs(spark):
     assert got[1]["dup_trigram_frac"] == 0.0
     assert got[2]["n_words"] == 2
     assert got[2]["top_bigram_frac"] == 1.0  # exactly one bigram
+
+
+def test_scrub_pii_goldens(spark):
+    from blurrily_spark.operators.textstats import scrub_pii
+
+    rows = [
+        (1, "mail me at a.b+c@foo-bar.org or see https://x.io/p?q=z@y.com now"),
+        (2, "server at 192.168.0.1 and 10.0.0.7 responded"),
+        (3, "nothing to scrub here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    # the email inside the URL's query string belongs to the URL (order:
+    # URL replaced first), so only ONE email is counted/redacted
+    assert got[1]["clean_text"] == "mail me at <EMAIL> or see <URL> now"
+    assert got[1]["n_urls"] == 1 and got[1]["n_emails"] == 1 and got[1]["n_ipv4"] == 0
+    assert got[2]["clean_text"] == "server at <IP> and <IP> responded"
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["clean_text"] == rows[2][1]
+    assert (got[3]["n_urls"], got[3]["n_emails"], got[3]["n_ipv4"]) == (0, 0, 0)
