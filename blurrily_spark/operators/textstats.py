@@ -171,9 +171,12 @@ def repetition_stats(
     per-doc statistics).
 
     Scale shape: line stats are pure per-row HOFs (no shuffle); the three
-    gram statistics are explode -> groupBy(id, gram) -> groupBy(id), all
-    equi-key on (id, gram) -- per-document work, never cross-document, so
-    the shuffles partition perfectly by document at any corpus size.
+    gram statistics ride ONE tagged explode -- (gram_size, gram) structs
+    for words, bigrams, and trigrams concatenated per document, so the
+    corpus is scanned once, not three times -- then
+    groupBy(id, size, gram) -> groupBy(id, size) -> groupBy(id), all
+    equi-key per document (never cross-document), so the shuffles
+    partition perfectly by document at any corpus size.
     """
     d = with_normalized(df, text_col, "_norm", adaptive="auto")
     words = F.split(F.col("_norm"), " ")
@@ -193,37 +196,35 @@ def repetition_stats(
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
     )
 
-    def gram_agg(n: int, top: bool):
-        grams = F.col("_ws") if n == 1 else _word_grams(F.col("_ws"), n)
-        ex = base.select("id", F.explode(grams).alias("g"))
-        cnt = ex.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
-        aggs = [F.sum("c").alias("tot")]
-        if top:
-            aggs.append(F.max("c").alias("top"))
-        else:
-            aggs.append(
-                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup")
-            )
-        return cnt.groupBy("id").agg(*aggs)
+    def tag(arr, n: int):
+        return F.transform(arr, lambda g: F.struct(F.lit(n).alias("t"), g.alias("g")))
 
-    w1 = gram_agg(1, top=True).select(
-        "id",
-        F.col("tot").cast("long").alias("n_words"),
-        F.round(F.col("top") / F.col("tot").cast("double"), 6).alias("top_word_frac"),
+    tagged = F.concat(
+        tag(F.col("_ws"), 1),
+        tag(_word_grams(F.col("_ws"), 2), 2),
+        tag(_word_grams(F.col("_ws"), 3), 3),
     )
-    w2 = gram_agg(2, top=True).select(
-        "id",
-        F.round(F.col("top") / F.col("tot").cast("double"), 6).alias("top_bigram_frac"),
+    cnt = (
+        base.select("id", F.explode(tagged).alias("tg"))
+        .groupBy("id", F.col("tg.t").alias("t"), F.col("tg.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    w3 = gram_agg(3, top=False).select(
-        "id",
-        F.round(F.col("dup") / F.col("tot").cast("double"), 6).alias("dup_trigram_frac"),
+    per = cnt.groupBy("id", "t").agg(
+        F.sum("c").alias("tot"),
+        F.max("c").alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    frac = F.round(F.col("top") / F.col("tot").cast("double"), 6)
+    dup_frac = F.round(F.col("dup") / F.col("tot").cast("double"), 6)
+    stats = per.groupBy("id").agg(
+        F.max(F.when(F.col("t") == 1, F.col("tot"))).cast("long").alias("n_words"),
+        F.max(F.when(F.col("t") == 1, frac)).alias("top_word_frac"),
+        F.max(F.when(F.col("t") == 2, frac)).alias("top_bigram_frac"),
+        F.max(F.when(F.col("t") == 3, dup_frac)).alias("dup_trigram_frac"),
     )
     return (
         base.select("id", "n_lines", "dup_line_frac")
-        .join(w1, "id")
-        .join(w2, "id", "left")
-        .join(w3, "id", "left")
+        .join(stats, "id")
         .select(
             "id",
             "n_lines",
