@@ -170,13 +170,15 @@ def repetition_stats(
     thresholds (tuning is a modeling question; the engine op is the
     per-doc statistics).
 
-    Scale shape: line stats are pure per-row HOFs (no shuffle); the three
-    gram statistics ride ONE tagged explode -- (gram_size, gram) structs
-    for words, bigrams, and trigrams concatenated per document, so the
-    corpus is scanned once, not three times -- then
-    groupBy(id, size, gram) -> groupBy(id, size) -> groupBy(id), all
-    equi-key per document (never cross-document), so the shuffles
-    partition perfectly by document at any corpus size.
+    Scale shape: line stats are pure per-row HOFs (no shuffle on their
+    own); the three gram statistics ride ONE tagged explode --
+    (gram_size, gram) structs for words, bigrams, and trigrams
+    concatenated per document, so the gram side scans the corpus once,
+    not three times -- then groupBy(id, size, gram) -> groupBy(id, size)
+    -> groupBy(id), all equi-key per document (never cross-document), so
+    the shuffles partition perfectly by document at any corpus size. Two
+    corpus scans total (grams + the line-stats join side; pinned in
+    tests/test_plans.py), zero Python nodes.
     """
     d = with_normalized(df, text_col, "_norm", adaptive="auto")
     words = F.split(F.col("_norm"), " ")

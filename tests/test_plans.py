@@ -50,6 +50,10 @@ NO_PYTHON_QUERIES = [
     "ann_ivf_fixed",
     "cosine_near_dups",
     "rp_lsh_near_dups",
+    "duplicate_span_positions",
+    "cut_duplicate_spans",
+    "repetition_stats",
+    "scrub_pii",
 ]
 
 
@@ -92,3 +96,18 @@ def test_scan_prunes_columns(spark):
     assert m, plan[:1500]
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols <= {"doc_id", "text"}, cols
+
+
+def test_scrub_pii_is_one_scan_no_shuffle(spark):
+    """scrub_pii is a single codegen'd projection: one scan, zero
+    exchanges (nothing to shuffle -- per-row regex work only)."""
+    plan = _plan(em.queries()["scrub_pii"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_gram_side_is_single_scan(spark):
+    """The three gram statistics ride ONE tagged explode: two corpus scans
+    total (grams + the line-stats join side), never one per gram size."""
+    plan = _plan(em.queries()["repetition_stats"](spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 2, "gram passes re-split per size"
