@@ -415,6 +415,47 @@ def save_banded_signatures(
     )
 
 
+def save_banded_signatures_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    hash_fn: str = "portable",
+) -> None:
+    """The cluster-scale layout of :func:`save_banded_signatures`: the
+    banded reference signatures persisted as a table bucketed+sorted by
+    the banded join's exact keys ``(band, bhash)``.
+
+    Bucketing must cover BOTH join keys: Spark's co-partitioning check
+    (requireAllClusterKeysForCoPartition) does not accept a subset
+    bucketing, so a bhash-only layout would re-shuffle the stored side.
+    With (band, bhash) buckets, every incoming batch's candidate join
+    reads the stored reference WITHOUT a shuffle exchange on that side
+    (asserted in tests/test_bucketed.py) -- only the small new batch
+    repartitions. On a real cluster this is an Iceberg table with a
+    bucket(band, bhash)-style transform.
+    """
+    _require_integral_id(df, id_col, "save_banded_signatures_bucketed")
+    banded = banded_signatures(
+        minhash_signatures(df, id_col, text_col, w, num_hashes, seed, hash_fn),
+        num_hashes,
+        bands,
+    ).withColumn("id", F.col("id").cast("long"))
+    (
+        banded.write.mode("overwrite")
+        .bucketBy(buckets, "band", "bhash")
+        .sortBy("band", "bhash")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
 def load_banded_signatures(spark, path: str) -> tuple[DataFrame, dict]:
     """(banded signatures, signature parameters) previously stored by
     :func:`save_banded_signatures`. The meta dict is what the NEW side of
