@@ -68,3 +68,39 @@ def test_scrub_pii_goldens(spark):
     assert got[2]["n_ipv4"] == 2
     assert got[3]["clean_text"] == rows[2][1]
     assert (got[3]["n_urls"], got[3]["n_emails"], got[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_scrub_pii_randomized_python_oracle(spark):
+    """Staged-regex parity with a pure-Python oracle applying the same
+    PII_PATTERNS in the same order (counts taken on the text each stage
+    actually sees)."""
+    import random
+    import re
+
+    from blurrily_spark.operators.textstats import PII_PATTERNS, scrub_pii
+
+    rng = random.Random(17)
+    frags = [
+        "plain words here", "x@y.org", "http://a.b/c?e=f@g.h", "1.2.3.4",
+        "https://deep.example/path", "no-at-sign.com", "999.999.999.999",
+        "a@b", "user.name+tag@host.co", "trailing dot 1.2.3.4.5",
+    ]
+    texts = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8))))
+        for i in range(30)
+    ]
+
+    def oracle(t):
+        counts = {}
+        for name, pattern, token in PII_PATTERNS:
+            counts[name] = len(re.findall(pattern, t))
+            t = re.sub(pattern, token, t)
+        return t, counts["url"], counts["email"], counts["ipv4"]
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    for i, t in texts:
+        exp_text, nu, ne, nip = oracle(t)
+        r = got[i]
+        assert r["clean_text"] == exp_text, (t, r["clean_text"], exp_text)
+        assert (r["n_urls"], r["n_emails"], r["n_ipv4"]) == (nu, ne, nip), t
