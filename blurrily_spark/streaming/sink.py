@@ -139,7 +139,11 @@ class BatchSink:
         if fs.exists(marker):
             return True
         # a compacted batch's marker may have been GC'd: the base watermark
-        # still vouches for it (replay of a folded id must stay a no-op)
+        # still vouches for it (replay of a folded id must stay a no-op).
+        # The watermark assumes a CONTIGUOUS commit history below it --
+        # guaranteed by Structured Streaming's sequential batch ids (batch
+        # N completes before N+1 starts), and by compact()'s contract of
+        # never running while a batch group is partially committed.
         _, folded_through = self._base_state()
         return int(batch_id) <= folded_through
 
@@ -278,6 +282,12 @@ class BatchSink:
         ``transform`` (e.g. ``lambda df: df.distinct()``) lets key
         sidecars stay minimal across folds. Callers must ensure no writer
         is mid-batch-group: see :meth:`read_paths` on the exclude guard.
+        GC also invalidates LAZY DataFrames planned against the
+        pre-compaction paths (an executing query that planned its scan
+        earlier can hit deleted files) -- readers that must survive a
+        concurrent compaction should re-plan via :meth:`read` per query,
+        as every reader in this repo does; a real table format solves
+        this with snapshot-retention windows.
         """
         gen, folded_through = self._base_state()
         batch_ids = [i for i in self.committed_ids() if i > folded_through]
