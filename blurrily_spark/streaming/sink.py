@@ -78,7 +78,14 @@ def _hadoop_fs(spark: SparkSession, path: str):
 def publish_small_file(spark: SparkSession, hpath, payload: bytes) -> None:
     """Atomically publish a small metadata file: write to a dotted tmp
     sibling, then rename into place (readers never see a torn file).
-    ``hpath`` is a Hadoop Path or a path string."""
+    ``hpath`` is a Hadoop Path or a path string.
+
+    Hadoop's ``FileSystem.rename`` reports most failures by RETURNING
+    FALSE rather than throwing -- notably on the object stores this module
+    targets -- so the return value is checked and a failed publish raises
+    instead of silently leaving the marker absent (a caller like
+    :meth:`BatchSink.compact` would otherwise GC folded data that no base
+    marker vouches for)."""
     jvm = spark._jvm
     if isinstance(hpath, str):
         hpath = jvm.org.apache.hadoop.fs.Path(hpath)
@@ -92,7 +99,12 @@ def publish_small_file(spark: SparkSession, hpath, payload: bytes) -> None:
         out.close()
     if fs.exists(hpath):
         fs.delete(hpath, False)
-    fs.rename(tmp, hpath)
+    if not fs.rename(tmp, hpath):
+        raise IOError(
+            f"atomic publish of {hpath.toString()!r} failed: rename returned "
+            "false (the staged tmp file was left in place; nothing was "
+            "published)"
+        )
 
 
 def read_small_file(spark: SparkSession, path: str) -> bytes | None:
@@ -172,20 +184,39 @@ class BatchSink:
         must match or :class:`SinkIdentityError` is raised. Protects
         against reusing an output directory with a fresh checkpoint,
         where restarted batch ids (0, 1, ...) would all look like replays
-        of long-gone batches and be silently dropped."""
-        raw = read_small_file(self.spark, f"{self.directory}/_identity")
-        if raw is not None:
-            existing = raw.decode("utf-8")
-            if existing != identity:
-                raise SinkIdentityError(
-                    f"sink {self.directory!r} is paired with identity "
-                    f"{existing!r} but this query presents {identity!r}; a "
-                    "sink directory and its checkpoint are paired for life "
-                    "-- point the new checkpoint at a fresh directory (or "
-                    "delete BOTH to start over)"
-                )
-            return
-        publish_small_file(self.spark, f"{self.directory}/_identity", identity.encode("utf-8"))
+        of long-gone batches and be silently dropped.
+
+        The first claim is an ATOMIC CREATE (``fs.create`` with
+        ``overwrite=false``, createNewFile semantics), not a check-then-
+        write: two queries racing for an unclaimed directory get exactly
+        one winner, and the loser re-reads and fails the identity
+        comparison instead of silently overwriting the winner's pairing.
+        """
+        ident_path = f"{self.directory}/_identity"
+        raw = read_small_file(self.spark, ident_path)
+        if raw is None:
+            fs, hpath = _hadoop_fs(self.spark, ident_path)
+            fs.mkdirs(hpath.getParent())
+            try:
+                out = fs.create(hpath, False)  # one winner; losers throw
+                try:
+                    out.write(identity.encode("utf-8"))
+                finally:
+                    out.close()
+            except Exception as exc:  # noqa: BLE001 -- py4j wraps the Java error
+                if "exists" not in str(exc).lower():
+                    raise
+            # re-read to learn who actually won the race
+            raw = read_small_file(self.spark, ident_path)
+        existing = raw.decode("utf-8") if raw is not None else None
+        if existing != identity:
+            raise SinkIdentityError(
+                f"sink {self.directory!r} is paired with identity "
+                f"{existing!r} but this query presents {identity!r}; a "
+                "sink directory and its checkpoint are paired for life "
+                "-- point the new checkpoint at a fresh directory (or "
+                "delete BOTH to start over)"
+            )
 
     def _publish_small_file(self, hpath, payload: bytes) -> None:
         publish_small_file(self.spark, hpath, payload)
@@ -221,6 +252,13 @@ class BatchSink:
         raw = read_small_file(self.spark, f"{self.base_marker_dir}/{best_gen}")
         folded_through = int(raw.decode("utf-8"))
         return best_gen, folded_through
+
+    def high_watermark(self) -> int:
+        """Highest batch id this sink vouches for (committed or folded);
+        -1 when the sink is empty."""
+        _, folded_through = self._base_state()
+        ids = self.committed_ids()
+        return max(ids + [folded_through])
 
     def read_paths(self, exclude: int | None = None) -> list[str]:
         """The exact parquet paths :meth:`read` unions: at most one base
@@ -258,6 +296,27 @@ class BatchSink:
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def bootstrap_base(self, df: DataFrame, folded_through: int) -> None:
+        """Publish ``df`` as this sink's FIRST base snapshot, vouching for
+        batch ids ``<= folded_through`` -- the upgrade path for a sidecar
+        sink paired with a data sink whose history predates sidecars
+        (round-4 ADVICE: without this, membership anti-joins silently skip
+        pre-existing history). Refuses a sink that already has any
+        committed state: bootstrap is for EMPTY sinks only.
+        """
+        if self.read_paths():
+            raise RuntimeError(
+                f"bootstrap_base on {self.directory!r}: sink already has "
+                "committed state; bootstrap is only for backfilling an "
+                "empty sidecar from pre-sidecar history"
+            )
+        df.write.mode("overwrite").parquet(self.base_path(1))
+        publish_small_file(
+            self.spark,
+            f"{self.base_marker_dir}/1",
+            str(int(folded_through)).encode("utf-8"),
+        )
 
     # -- compaction ----------------------------------------------------------
 
@@ -307,6 +366,19 @@ class BatchSink:
         publish_small_file(
             self.spark, f"{self.base_marker_dir}/{new_gen}", str(new_folded).encode("utf-8")
         )
+        # GC deletes the only other copy of the folded rows, so require
+        # POSITIVE proof the new marker is live before touching anything:
+        # publish_small_file raises on a failed rename, but a buggy or
+        # eventually-consistent filesystem could still leave the marker
+        # unreadable -- in that case folded data must survive.
+        check_gen, check_folded = self._base_state()
+        if check_gen != new_gen or check_folded != new_folded:
+            raise IOError(
+                f"compaction marker _base/{new_gen} not visible after "
+                f"publish (read back gen={check_gen}, "
+                f"folded_through={check_folded}); skipping GC -- folded "
+                "batch data is retained and the next compact() will retry"
+            )
         # -- GC (pure cleanup; every read below already ignores these) ------
         fs, _ = _hadoop_fs(self.spark, self.directory)
         for i in batch_ids:

@@ -57,6 +57,27 @@ def refs_sidecar_dir(output_dir: str) -> str:
     return f"{output_dir.rstrip('/')}/_refs"
 
 
+def _ensure_sidecar(data_sink: BatchSink, sidecar: BatchSink, key_cols: list[str]) -> None:
+    """Backfill an EMPTY membership sidecar from a data sink's committed
+    history (round-4 ADVICE: a sink directory written before sidecars
+    existed has committed batches but no sidecar, and the membership
+    anti-join would silently skip all of that history -- re-inserting
+    duplicate refs / re-emitting old pairs). The distinct keys of the full
+    committed history are published as the sidecar's first base snapshot,
+    watermarked at the data sink's highest committed id, so every
+    pre-existing batch counts as folded into the sidecar. One-time
+    O(history) cost on first contact with an old directory; a no-op ever
+    after."""
+    if sidecar.read_paths():
+        return
+    hist = data_sink.read()
+    if hist is None:
+        return
+    sidecar.bootstrap_base(
+        hist.select(*key_cols).distinct(), data_sink.high_watermark()
+    )
+
+
 def index_batch_writer(output_dir: str, checkpoint_dir: str | None = None,
                        compact_every: int | None = None):
     """foreachBatch body for :func:`stream_index_build` (module-level so
@@ -92,6 +113,7 @@ def index_batch_writer(output_dir: str, checkpoint_dir: str | None = None,
         ref_sink = BatchSink(sess, refs_sidecar_dir(output_dir))
         if checkpoint_dir is not None:
             sink.claim(checkpoint_dir)
+        _ensure_sidecar(sink, ref_sink, ["ref"])
         if sink.is_committed(batch_id) and ref_sink.is_committed(batch_id):
             return
         turns = build_turns(batch_df)
@@ -214,6 +236,7 @@ def minhash_batch_writer(
         if checkpoint_dir is not None:
             sig_sink.claim(checkpoint_dir)
             pair_sink.claim(checkpoint_dir)
+        _ensure_sidecar(sig_sink, id_sink, ["id"])
         if (
             sig_sink.is_committed(batch_id)
             and pair_sink.is_committed(batch_id)

@@ -406,3 +406,113 @@ def test_minhash_sidecar_and_compaction(spark, tmp_path):
     writer(batch1, 2)
     assert read_sink(spark, sigs).count() == n_sigs, "seen ids re-signed"
     assert read_sink(spark, pairs).count() == n_pairs, "duplicate pairs emitted"
+
+
+def test_refs_sidecar_backfilled_for_presidecar_history(spark, tmp_path):
+    """Round-4 ADVICE: a sink directory written BEFORE sidecars existed has
+    committed postings but no _refs sidecar; the membership anti-join must
+    not silently skip that history (duplicate refs would re-enter postings
+    and inflate FIND counts). First contact backfills the sidecar from the
+    committed history."""
+    import shutil
+
+    from blurrily_spark.streaming.stream import refs_sidecar_dir
+
+    out = str(tmp_path / "out")
+    writer = index_batch_writer(out)
+    b1 = generate_transcripts(spark, n_entities=3, seed=4)
+    writer(b1, 0)
+    n1 = read_sink(spark, out).count()
+    assert n1 > 0
+
+    # simulate a pre-sidecar directory: committed data, no sidecar at all
+    shutil.rmtree(refs_sidecar_dir(out))
+
+    # next batch re-sends ALL of batch 0's turns plus genuinely new ones
+    b_new = generate_transcripts(spark, n_entities=2, seed=9, entity_offset=50)
+    writer(b1.unionByName(b_new), 1)
+
+    n_new_only = turns_to_postings(build_turns(b_new)).count()
+    assert read_sink(spark, out).count() == n1 + n_new_only, (
+        "pre-sidecar history was not honored: duplicate refs re-inserted"
+    )
+    # the backfilled sidecar now vouches for the whole committed ref set
+    refs = read_sink(spark, refs_sidecar_dir(out))
+    assert refs.count() == read_sink(spark, out).select("ref").distinct().count()
+
+
+def test_bootstrap_base_refuses_nonempty_sink(spark, tmp_path):
+    import pytest
+
+    sink = BatchSink(spark, str(tmp_path / "s"))
+    df = spark.range(3)
+    sink.write(df, 0)
+    sink.commit(0)
+    with pytest.raises(RuntimeError, match="already has committed state"):
+        sink.bootstrap_base(df, 0)
+
+
+def test_compact_gc_requires_live_marker(spark, tmp_path, monkeypatch):
+    """Round-4 ADVICE (medium): GC deletes the only other copy of folded
+    rows, so a compaction whose base marker did not actually land must
+    raise BEFORE the GC step and leave every folded batch intact."""
+    import pytest
+
+    import blurrily_spark.streaming.sink as sink_mod
+
+    sink = BatchSink(spark, str(tmp_path / "s"))
+    for i in range(2):
+        sink.write(spark.range(i * 10, i * 10 + 10), i)
+        sink.commit(i)
+    n = sink.read().count()
+
+    # marker publish silently fails (the rename-returned-false failure mode)
+    monkeypatch.setattr(sink_mod, "publish_small_file", lambda *a, **k: None)
+    with pytest.raises(IOError, match="not visible after"):
+        sink.compact()
+    monkeypatch.undo()
+
+    # folded data survived the failed attempt; retry succeeds and folds
+    assert sink.read().count() == n
+    assert sink.compact() is True
+    assert len(sink.read_paths()) == 1
+    assert sink.read().count() == n
+
+
+def test_claim_lost_race_fails_loudly(spark, tmp_path, monkeypatch):
+    """Round-4 ADVICE: claim() must be an atomic create, not check-then-
+    write. Simulate the race window -- the loser's initial read sees no
+    identity file, but the winner's file lands before the loser's create:
+    the loser must observe the winner's identity and raise, never
+    overwrite it."""
+    import pytest
+
+    import blurrily_spark.streaming.sink as sink_mod
+    from blurrily_spark.streaming.sink import (
+        SinkIdentityError,
+        publish_small_file,
+        read_small_file,
+    )
+
+    out = str(tmp_path / "s")
+    real_read = sink_mod.read_small_file
+    calls = {"n": 0}
+
+    def racy_read(spark_, path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # loser's pre-check: file not there yet...
+            assert real_read(spark_, path) is None
+            # ...but the winner publishes before the loser's create
+            publish_small_file(spark_, path, b"winner-ckpt")
+            return None
+        return real_read(spark_, path)
+
+    monkeypatch.setattr(sink_mod, "read_small_file", racy_read)
+    sink = BatchSink(spark, out)
+    with pytest.raises(SinkIdentityError, match="winner-ckpt"):
+        sink.claim("loser-ckpt")
+    monkeypatch.undo()
+    # the winner's pairing was not overwritten
+    assert read_small_file(spark, f"{out}/_identity") == b"winner-ckpt"
+    sink.claim("winner-ckpt")  # and the winner still claims fine
