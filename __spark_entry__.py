@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from blurrily_spark.functions import oracle
 from blurrily_spark.functions.tokenizer import normalize
-from blurrily_spark.operators import dedup, similarity, textstats
+from blurrily_spark.operators import corpus, dedup, similarity, textstats
 from blurrily_spark.operators.cluster import connected_components
 from blurrily_spark.operators.find import find
 from blurrily_spark.operators.index import build_postings, delete_refs, stats
@@ -232,6 +232,23 @@ def q_simhash(spark, sf_dir):
 
 def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_ngram_contamination(spark, sf_dir):
+    # benchmark decontamination: the "eval set" is a truncated copy of
+    # every 5th document (simulated leakage); any verbatim 8-gram overlap
+    # flags the train doc
+    train = _docs(spark, sf_dir).select("doc_id", "text")
+    holdout = _truncated_dups(train.where(F.col("doc_id") % 5 == 0))
+    return corpus.ngram_contamination(train, holdout, n=SPAN_W)
+
+
+def q_frequent_ngrams(spark, sf_dir):
+    return corpus.frequent_ngrams(_docs(spark, sf_dir), n=3, k=50, min_df=2)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
 def q_scrub_pii(spark, sf_dir):
@@ -502,6 +519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fp,
         "simhash_near_dups": q_simhash,
         "token_count": q_token_count,
+        "ngram_contamination": q_ngram_contamination,
+        "frequent_ngrams": q_frequent_ngrams,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
         "scrub_pii": q_scrub_pii,
         "quality_score": q_quality,
@@ -777,6 +797,63 @@ SELECT l.ref AS id,
        round(coalesce(w3.dtf, 0.0), 6) AS dup_trigram_frac
 FROM linestats l JOIN w1 ON w1.ref = l.ref
 LEFT JOIN w2 ON w2.ref = l.ref LEFT JOIN w3 ON w3.ref = l.ref"""
+
+    holdout_corpus = f"""(SELECT doc_id + {DUP_OFFSET} AS doc_id,
+        substr(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
+ FROM documents WHERE doc_id % 5 = 0)"""
+    out["ngram_contamination"] = f"""WITH {oracle.norm_cte('tr', 'documents', 'doc_id', 'text')},
+{oracle.norm_cte('ho', holdout_corpus, 'doc_id', 'text')},
+tw AS (SELECT ref, string_split(norm, ' ') AS ws FROM tr_norm),
+tg AS (
+  SELECT DISTINCT w.ref, array_to_string(w.ws[t.i : t.i + {SPAN_W - 1}], ' ') AS g
+  FROM tw w,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w.ws) - {SPAN_W} + 1, 1))) AS i) t
+),
+hw AS (SELECT ref, string_split(norm, ' ') AS ws FROM ho_norm),
+hg AS (
+  SELECT DISTINCT array_to_string(w.ws[t.i : t.i + {SPAN_W - 1}], ' ') AS g
+  FROM hw w,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w.ws) - {SPAN_W} + 1, 1))) AS i) t
+),
+tot AS (SELECT ref, count(*) AS n_grams FROM tg GROUP BY ref),
+hit AS (SELECT ref, count(*) AS c FROM tg WHERE g IN (SELECT g FROM hg) GROUP BY ref)
+SELECT t.ref AS id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(h.c, 0) / t.n_grams, 6) AS contamination,
+       CAST(CASE WHEN coalesce(h.c, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS is_contaminated
+FROM tot t LEFT JOIN hit h ON h.ref = t.ref"""
+
+    out["frequent_ngrams"] = f"""WITH {oracle.norm_cte('hay', 'documents', 'doc_id', 'text')},
+words AS (SELECT ref, string_split(norm, ' ') AS ws FROM hay_norm),
+wins AS (
+  SELECT w.ref, array_to_string(w.ws[t.i : t.i + 2], ' ') AS gram
+  FROM words w,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w.ws) - 2, 1))) AS i) t
+)
+SELECT gram,
+       CAST(count(DISTINCT ref) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM wins GROUP BY gram HAVING count(DISTINCT ref) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, gram ASC LIMIT 50"""
+
+    out["tfidf_top_terms"] = f"""WITH {oracle.norm_cte('hay', 'documents', 'doc_id', 'text')},
+words AS (SELECT ref, unnest(string_split(norm, ' ')) AS term FROM hay_norm),
+tf AS (SELECT ref, term, count(*) AS tf FROM words GROUP BY ref, term),
+dfreq AS (SELECT term, count(*) AS df_term FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT ref) AS n_docs FROM words),
+scored AS (
+  SELECT t.ref, t.term, t.tf, d.df_term,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df_term), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term), nd n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ref ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT ref AS id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df_term AS BIGINT) AS df_term, tfidf
+FROM ranked WHERE rank <= 3"""
 
     out["token_count"] = """SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,

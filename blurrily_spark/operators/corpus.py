@@ -1,0 +1,205 @@
+"""Corpus-level training-data analysis: benchmark decontamination,
+boilerplate n-gram mining, and TF-IDF keyword extraction.
+
+These are whole-corpus passes an LLM training pipeline runs alongside
+dedup (the reference engine's per-record trigram model generalized to
+word n-grams over the same normalized text,
+ext/blurrily/tokeniser.rl:52-60's normalize -> window pattern):
+
+* :func:`ngram_contamination` -- flag training documents sharing verbatim
+  word n-grams with a held-out evaluation set (the GPT-3 appendix-C /
+  PaLM-style 8-to-13-gram decontamination test). Expressed as distinct
+  n-grams per document joined against the distinct eval-set n-grams: two
+  exploded equi-joins and per-doc aggregations, never a doc x doc
+  comparison.
+* :func:`frequent_ngrams` -- corpus-wide top-k n-grams by document
+  frequency: the boilerplate-discovery pass (license headers, templated
+  chrome) whose output feeds span cutting or blocking-key deny-lists.
+  One map-side-combined aggregation plus a global top-k.
+* :func:`tfidf_top_terms` -- per-document top-k terms by TF-IDF: cheap
+  corpus fingerprinting / clustering features. Term and document
+  frequencies are two equi-key aggregations; the per-document top-k is a
+  rank window partitioned by document (WindowGroupLimit pushes the k cut
+  below the sort).
+
+Scale shape: everything here is explode -> hash-aggregate -> equi-join;
+there is no pairwise work anywhere, so cost is linear in corpus token
+count. For the contamination join the eval side is benchmark-sized in
+practice (thousands of documents) -- its distinct-gram set broadcasts and
+the train side never shuffles; when it does not fit, the join degrades to
+a plain hash join on the gram key. ``hash_fn='fast'`` ships 8-byte
+xxhash64 gram keys through shuffles instead of n-word strings (same lever
+as operators/dedup.py's span passes; 'exact' keeps raw strings so the
+DuckDB oracle reproduces results bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from blurrily_spark.functions.tokenizer import with_normalized
+
+
+def _norm(df: DataFrame, text_col: str) -> DataFrame:
+    return with_normalized(df, text_col, "_norm", adaptive="auto")
+
+
+def _gram_array(col, n: int, distinct: bool):
+    """Sliding word n-grams over a normalized text column; documents
+    shorter than ``n`` words contribute their whole text as one gram
+    (same clamping contract as dedup.word_shingles / duplicate_spans)."""
+    words = F.split(col, " ")
+    sz = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def _exploded_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool
+) -> DataFrame:
+    d = _norm(df, text_col)
+    return d.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(_gram_array(F.col("_norm"), n, distinct)).alias("gram"),
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+    hash_fn: str = "exact",
+) -> DataFrame:
+    """Benchmark decontamination: per TRAIN document, how many of its
+    distinct word ``n``-grams appear verbatim anywhere in the ``holdout``
+    (evaluation) corpus.
+
+    Returns one row per train document:
+    ``(id, n_grams, n_contaminated, contamination, is_contaminated)``
+    where ``contamination = n_contaminated / n_grams`` and
+    ``is_contaminated = 1`` when ``n_contaminated >= min_hits`` (the
+    standard decontamination rule is min_hits=1 at n in [8, 13]: any
+    verbatim overlap disqualifies).
+
+    Plan: distinct grams per train doc (explode), the DISTINCT holdout
+    gram set (explode + aggregate -- benchmark-sized, so it broadcasts),
+    a left-semi equi-join to count hits, and a left join back onto the
+    per-doc totals. Linear in token count; no doc x doc work.
+    """
+    t = _exploded_grams(train, id_col, text_col, n, distinct=True)
+    h = (
+        _exploded_grams(holdout, id_col, text_col, n, distinct=False)
+        .select("gram")
+        .distinct()
+    )
+    if hash_fn == "fast":
+        t = t.select("id", F.xxhash64("gram").alias("gram"))
+        h = h.select(F.xxhash64("gram").alias("gram"))
+    totals = t.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        t.join(h, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_hit = F.coalesce("n_contaminated", F.lit(0))
+    return totals.join(hits, "id", "left").select(
+        "id",
+        "n_grams",
+        n_hit.alias("n_contaminated"),
+        F.round(n_hit / F.col("n_grams"), 6).alias("contamination"),
+        (n_hit >= min_hits).cast("int").alias("is_contaminated"),
+    )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide boilerplate mining: the top ``k`` word ``n``-grams by
+    document frequency (``n_docs``), with total occurrence counts.
+
+    Returns ``(gram, n_docs, n_occurrences)`` for grams appearing in at
+    least ``min_df`` documents, ordered ``n_docs DESC, n_occurrences
+    DESC, gram ASC`` (a total order -- ties cannot reshuffle between
+    engines or runs) and limited to ``k``.
+
+    Plan: one explode of RAW (non-distinct) grams so occurrence counts
+    are true totals, one hash aggregation keyed by gram (map-side
+    combined: the wire carries one row per distinct gram per task, not
+    per occurrence), and a global top-k that Spark executes as
+    TakeOrderedAndProject -- each partition keeps only its local top k,
+    so no full sort and no single-node sort bottleneck at any scale.
+    """
+    grams = _exploded_grams(df, id_col, text_col, n, distinct=False)
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_df)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram").asc()
+        )
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF over normalized words.
+
+    Returns ``(id, rank, term, tf, df_term, tfidf)`` with
+    ``tfidf = round(tf * ln(n_docs / df_term), 6)`` and ``rank`` the
+    1-based position under the total order ``tfidf DESC, term ASC``
+    (rounding before ranking keeps the order identical across engines --
+    a last-ulp ``ln`` difference cannot flip a comparison that only sees
+    6 decimals).
+
+    Plan: one explode -> (doc, term) count aggregation; document
+    frequency is a second aggregation of the SAME (doc, term) rows (no
+    re-scan of the corpus); the corpus size joins in as a broadcast
+    one-row literal; the per-doc rank is a window whose ``rank <= k``
+    filter Spark pushes into WindowGroupLimit (per-partition top-k before
+    the full sort).
+    """
+    words = _norm(df, text_col).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.split(F.col("_norm"), " ")).alias("term"),
+    )
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    n_docs = words.select(F.count_distinct("id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_term")),
+                6,
+            ),
+        )
+    )
+    win = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("id", "rank", "term", "tf", "df_term", "tfidf")
+    )

@@ -19,13 +19,21 @@ Scale design (the part the single-node reference never had to solve):
     cap and capping changes ``matches`` counts).
   - AQE skew-join (enabled in get_spark): splits oversized partitions at
     runtime.
-  - ``salt_buckets``: explicit salted self-join -- the left side is split
-    into B salt buckets by ref hash, the right side replicated B times, so
-    one hot trigram's pair work spreads over B tasks.
+  - ``salt_buckets``: explicit salted self-join over the HOT keys only --
+    the bounded key space makes the heavy-key list driver-cheap (one
+    map-side-combined agg to <= 21952 rows), so the split is exact: cold
+    trigrams take the plain join, hot trigrams take a salted join (left
+    side split into B salt buckets by ref hash, right side replicated B
+    times), and the union is the same pair multiset. Salting every key
+    (the naive form) replicates the whole right side B times -- at 100 TB
+    the cold 99% of the corpus would pay B x shuffle volume to fix a
+    straggler caused by a handful of keys.
 * **Half-matrix.** ``ref_a < ref_b`` keeps each unordered pair once.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,12 +44,36 @@ def trigram_df_counts(postings: DataFrame) -> DataFrame:
     return postings.groupBy("trigram").agg(F.count(F.lit(1)).alias("df"))
 
 
+def hot_trigrams(
+    postings: DataFrame, salt_buckets: int, hot_df: int | None = None
+) -> tuple[list, int]:
+    """(hot trigram keys, resolved df threshold) for skew salting.
+
+    One aggregation over postings (map-side combined down to <= 28^3 rows,
+    always driver-small -- ext/blurrily/storage.c:30's bounded code space
+    is what makes exact skew planning cheap). ``hot_df=None`` auto-derives
+    the threshold from the work model: a trigram with df = d contributes
+    d*(d-1)/2 ~ d^2/2 pairs, so a key deserves salting only when its own
+    pair output exceeds a task's fair share of the total --
+    ``d > sqrt(sum(df^2) / shuffle_partitions)`` (floored at ``2 *
+    salt_buckets``: below that, splitting d rows B ways buys nothing).
+    ``hot_df=0`` marks every key hot (the naive salt-everything plan,
+    kept measurable for the skew bench)."""
+    rows = trigram_df_counts(postings.select("trigram")).collect()
+    if hot_df is None:
+        n_part = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        total_sq = sum(r["df"] * r["df"] for r in rows)
+        hot_df = max(2 * int(salt_buckets), math.isqrt(total_sq // max(n_part, 1)))
+    return [r["trigram"] for r in rows if r["df"] > hot_df], int(hot_df)
+
+
 def candidate_pairs(
     postings: DataFrame,
     min_matches: int = 1,
     max_df: int | None = None,
     salt_buckets: int | None = None,
     keys_only: bool = False,
+    hot_df: int | None = None,
 ) -> DataFrame:
     """All candidate pairs sharing >= min_matches trigrams.
 
@@ -58,7 +90,15 @@ def candidate_pairs(
     longs per collision instead of two longs plus a count and two weight
     aggregation buffers. Requires ``min_matches == 1`` (phase 1 cannot
     threshold a count it does not compute).
-    """
+
+    ``salt_buckets`` salts ONLY the hot keys (see :func:`hot_trigrams`;
+    ``hot_df`` overrides the auto threshold): cold trigrams -- the vast
+    majority at any scale -- join plainly with zero replication, hot ones
+    spread over B salted tasks, and the two branches union into the same
+    pair multiset (each posting row lands in exactly one branch, so each
+    (trigram, pair) match is produced exactly once). Note the hot-key scan
+    runs an eager aggregation job at plan-build time when salting is
+    requested."""
     if keys_only and min_matches > 1:
         raise ValueError("keys_only candidate generation cannot apply min_matches")
     cols = ["trigram", "ref"] if keys_only else ["trigram", "ref", "weight"]
@@ -79,17 +119,28 @@ def candidate_pairs(
         *([] if keys_only else [F.col("weight").alias("weight_b")]),
     )
 
+    hot_keys: list = []
     if salt_buckets and salt_buckets > 1:
-        b = int(salt_buckets)
-        left = left.withColumn("salt", F.pmod(F.xxhash64("ref_a"), F.lit(b)))
-        right = right.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(b - 1).cast("long")))
-        )
-        join_keys = ["trigram", "salt"]
-    else:
-        join_keys = ["trigram"]
+        hot_keys, _ = hot_trigrams(p, salt_buckets, hot_df)
 
-    joined = left.join(right, join_keys).where(F.col("ref_a") < F.col("ref_b"))
+    if hot_keys:
+        b = int(salt_buckets)
+        is_hot = F.col("trigram").isin(hot_keys)  # InSet over <= 21952 codes
+        hot_l = left.where(is_hot).withColumn(
+            "salt", F.pmod(F.xxhash64("ref_a"), F.lit(b))
+        )
+        hot_r = right.where(is_hot).withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(b - 1).cast("long"))),
+        )
+        joined = (
+            left.where(~is_hot)
+            .join(right.where(~is_hot), ["trigram"])
+            .unionByName(hot_l.join(hot_r, ["trigram", "salt"]).drop("salt"))
+            .where(F.col("ref_a") < F.col("ref_b"))
+        )
+    else:
+        joined = left.join(right, ["trigram"]).where(F.col("ref_a") < F.col("ref_b"))
 
     if keys_only:
         return joined.select("ref_a", "ref_b").dropDuplicates(["ref_a", "ref_b"])

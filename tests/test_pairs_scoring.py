@@ -45,10 +45,39 @@ def test_pair_matches_equal_python_model(spark):
 
 
 def test_pair_matches_salted_identical(spark):
-    # salting must not change results, only task layout
-    plain, _ = _spark_pairs(spark)
-    salted, _ = _spark_pairs(spark, salt_buckets=4)
+    # salting must not change results, only task layout. hot_df=1 splits
+    # this corpus into BOTH branches (shared trigrams salted, unique ones
+    # plain-joined); hot_df=0 forces the all-hot salted branch; the auto
+    # threshold on a tiny skew-free corpus finds nothing hot and
+    # degenerates to the plain join. All three must match.
+    plain = sorted(map(tuple, _spark_pairs(spark)[0].collect()))
+    for kw in (dict(hot_df=1), dict(hot_df=0), dict()):
+        salted, _ = _spark_pairs(spark, salt_buckets=4, **kw)
+        assert sorted(map(tuple, salted.collect())) == plain, kw
+
+
+def test_salted_keys_only_identical(spark):
+    plain, _ = _spark_pairs(spark, keys_only=True)
+    salted, _ = _spark_pairs(spark, keys_only=True, salt_buckets=4, hot_df=1)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_hot_trigrams_threshold(spark):
+    from blurrily_spark.operators.pairs import hot_trigrams
+
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    # explicit threshold: exactly the trigrams with df > 1
+    hot, thr = hot_trigrams(postings, salt_buckets=4, hot_df=1)
+    assert thr == 1
+    from blurrily_spark.operators.pairs import trigram_df_counts
+
+    exp = {r["trigram"] for r in trigram_df_counts(postings).collect() if r["df"] > 1}
+    assert set(hot) == exp
+    # auto threshold never goes below 2 * salt_buckets (splitting tiny keys
+    # buys nothing) -- on this corpus nothing clears it
+    hot_auto, thr_auto = hot_trigrams(postings, salt_buckets=4)
+    assert thr_auto >= 8
+    assert hot_auto == []
 
 
 def test_min_matches_filter(spark):
