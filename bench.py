@@ -27,6 +27,9 @@ Queries:
                         vs the original documents (oriented banded join)
   q_cut_spans      -- span cut-and-keep pass (duplicated windows removed,
                       text rebuilt), fast-hash SF-scaled corpus
+  q_contamination  -- benchmark decontamination: 8-gram overlap of every
+                      document against a leaked-subset holdout (fast hash
+                      family)
   q_cosine_topk    -- brute-force embedding top-k
   q_ann_ivf        -- IVF ANN top-k (trained codebook; recall@5 vs brute
                       force reported as ann_recall_at5)
@@ -226,6 +229,24 @@ def main() -> None:
         lambda: dedup.cut_duplicate_spans(sketch_corpus, hash_fn="fast")
         .selectExpr("sum(length(kept_text))")
         .collect(),
+    )
+    # round 5: benchmark decontamination at SF scale -- every doc checked
+    # for verbatim 8-gram overlap against a leaked-subset holdout, on the
+    # production hash family (8-byte gram keys through the shuffles)
+    from pyspark.sql import functions as F
+
+    from blurrily_spark.operators import corpus as corpus_ops
+
+    holdout = em._truncated_dups(
+        docs_only.where(F.col("doc_id") % 5 == 0), offset=20_000_000
+    )
+    timed(
+        "q_contamination",
+        lambda: corpus_ops.ngram_contamination(
+            docs_only, holdout, n=8, hash_fn="fast"
+        )
+        .where("is_contaminated = 1")
+        .count(),
     )
     timed("q_cosine_topk", lambda: em.q_cosine_topk(spark, SF_DIR).count())
     timed("q_rp_lsh_near_dups", lambda: em.q_rp_lsh_near_dups(spark, SF_DIR).count())
