@@ -170,6 +170,15 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", "inter", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_jaccard_join_exact(spark, sf_dir):
+    # prefix-filtered EXACT threshold jaccard join (AllPairs/PPJoin
+    # family): by construction it must equal the brute all-pairs baseline,
+    # so it shares ngram_jaccard_pairs' oracle SQL verbatim
+    return dedup.jaccard_join_exact(
+        _docs_with_dups(spark, sf_dir), w=3, threshold=NGRAM_THRESHOLD
+    ).select("id_a", "id_b", "inter", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_minhash_sigs(spark, sf_dir):
     sigs = dedup.minhash_signatures(_docs_with_dups(spark, sf_dir), w=3, num_hashes=32)
     return sigs.select("id", F.posexplode("sig").alias("pos", "sig_v")).select(
@@ -509,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "jaccard_join_exact": q_jaccard_join_exact,
         "minhash_signatures": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh,
         "near_dedup": q_near_dedup,
@@ -625,6 +635,9 @@ SELECT id_a, id_b, inter,
        round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
 FROM inter JOIN counts ca ON ca.ref = id_a JOIN counts cb ON cb.ref = id_b
 WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= {NGRAM_THRESHOLD}"""
+    # the prefix-filtered exact join has the same contract as the brute
+    # baseline -- identical oracle, different physical strategy
+    out["jaccard_join_exact"] = out["ngram_jaccard_pairs"]
 
     out["minhash_signatures"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
 {oracle.minhash_ctes('hay', MINHASH_PARAMS)}

@@ -125,6 +125,100 @@ def shingle_pairs_jaccard(
     )
 
 
+def jaccard_join_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT threshold Jaccard self-join via prefix filtering -- the same
+    output as :func:`shingle_pairs_jaccard` (every pair with shingle-set
+    Jaccard >= ``threshold``, no misses, no approximation) without the
+    all-pairs blowup (AllPairs / PPJoin family: Bayardo et al., WWW 2007;
+    Xiao et al., WWW 2008).
+
+    Why it is exact: ``J(A,B) >= t`` forces overlap ``o >= ceil(t*|A|)``
+    (from ``o >= t(|A|+|B|-o)`` and ``|B| >= o``). Under any one global
+    total order over shingles, two sets with overlap ``o`` must each
+    contain a shared element among their first ``n - o + 1`` elements --
+    so joining only each record's ``n - ceil(t*n) + 1``-element PREFIX
+    finds a candidate for every qualifying pair. Prefixes are taken under
+    ascending global document frequency (rarest shingles first, ties by
+    shingle), which makes prefix postings lists short exactly where the
+    corpus is dense -- the candidate count collapses on skewed corpora.
+    A size filter (``t * max(n_a, n_b) <= min(n_a, n_b)``, necessary for
+    ``J >= t``) prunes before the pair-dedup shuffle, and every candidate
+    is verified with the exact jaccard (array_intersect on the full
+    shingle arrays -- O(candidates), one JVM expression per pair).
+
+    Float guards lean SOUND: the prefix-length ``ceil`` and the size
+    filter both take an 1e-9 slack in the direction that only ADMITS more
+    candidates; the final verification is the exact predicate.
+
+    Scale shape: explode-prefix -> equi-join -> distinct pairs -> two
+    array joins. The only data-dependent blowup is genuinely-similar
+    mass; compare :func:`minhash_lsh_pairs` (approximate, constant-factor
+    candidates) and :func:`shingle_pairs_jaccard` (brute baseline this
+    function must equal, pinned in tests).
+
+    Returns ``(id_a, id_b, inter, jaccard)``, ``id_a < id_b``.
+    """
+    if not (0 < threshold <= 1):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = (
+        _norm_col(df, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col("_norm"), w)).alias("sh"),
+        )
+        .distinct()
+    )
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    pos_win = Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("sh").asc())
+    prefix_len = F.col("n_sh") - F.ceil(threshold * F.col("n_sh") - 1e-9) + 1
+    prefix = (
+        sh.join(dfreq, "sh")
+        .withColumn("_pos", F.row_number().over(pos_win))
+        .join(counts, "id")
+        .where(F.col("_pos") <= prefix_len)
+        .select("id", "sh", "n_sh")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+    cand = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        # size filter: J >= t needs t*max <= min (slack admits, never drops)
+        .where(
+            F.least("n_a", "n_b") + F.lit(1e-9)
+            >= threshold * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    arrs = sh.groupBy("id").agg(F.sort_array(F.collect_set("sh")).alias("_arr"))
+    return (
+        cand.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("_arr").alias("_arr_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("_arr").alias("_arr_b")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_arr_a", "_arr_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("_arr_a") + F.size("_arr_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
 def _permutation_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal-hash permutations."""
     import random

@@ -349,3 +349,40 @@ def test_fully_duplicated_doc_cuts_to_empty(spark):
     got = {r["id"]: r for r in dedup.cut_duplicate_spans(df, w=5).collect()}
     assert got[1]["kept_text"] == "" and got[1]["n_kept_words"] == 0
     assert got[2]["kept_text"] == "" and got[2]["n_words"] > 0
+
+
+def test_jaccard_join_exact_equals_brute(spark):
+    """Prefix filtering is an exact method: across thresholds and a seeded
+    random corpus (injected near-dups + unique tails), the prefix-filtered
+    join must return the IDENTICAL pair set, intersections, and jaccard
+    values as the brute all-pairs baseline."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(2, 25))]
+        rows.append((i, " ".join(words)))
+        if i % 4 == 0:  # a truncated near-duplicate
+            rows.append((100 + i, " ".join(words[: max(2, len(words) * 3 // 4)])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8, 1.0):
+        brute = sorted(
+            (r["id_a"], r["id_b"], r["inter"], round(r["jaccard"], 9))
+            for r in dedup.shingle_pairs_jaccard(df, threshold=t).collect()
+        )
+        fast = sorted(
+            (r["id_a"], r["id_b"], r["inter"], round(r["jaccard"], 9))
+            for r in dedup.jaccard_join_exact(df, threshold=t).collect()
+        )
+        assert fast == brute, f"threshold {t}"
+        assert brute, f"threshold {t}: degenerate test (no qualifying pairs)"
+
+
+def test_jaccard_join_exact_validates_threshold(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.jaccard_join_exact(df, threshold=0.0)
