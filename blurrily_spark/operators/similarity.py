@@ -230,6 +230,7 @@ def ivf_topk_stored(
     nprobe: int = 2,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """:func:`ivf_topk` against a :func:`save_ivf_index` table, with the
     probed buckets pushed into the scan as a partition filter.
@@ -241,11 +242,29 @@ def ivf_topk_stored(
     directory-level partition pruning -- only the probed inverted lists
     are listed, opened, or scored. Identical results to :func:`ivf_topk`
     with the stored codebook.
+
+    The driver-side collect is bounded: past ``max_queries`` rows (default
+    100k -- at typical dims that is well under a gigabyte of vectors, and
+    past it the probe union approaches all buckets so pruning buys nothing
+    anyway) the call fails loudly instead of OOMing the driver; route big
+    query sets through the DataFrame-native :func:`ivf_topk`, which keeps
+    the assignment distributed.
     """
     centroids = load_ivf_codebook(spark, path)
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
-    ).collect()
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_topk_stored collects the query batch driver-side and is "
+            f"capped at max_queries={max_queries} rows; use ivf_topk (the "
+            f"DataFrame-native path, distributed bucket assignment) for "
+            f"larger query sets"
+        )
     probe_rows = []
     for r in qrows:
         qv = list(map(float, r["_qv"]))

@@ -38,6 +38,7 @@ from blurrily_spark.functions.tokenizer import add_trigrams, with_normalized
 from blurrily_spark.operators.cluster import assign_entities
 from blurrily_spark.operators.pairs import (
     candidate_pairs,
+    hot_trigrams,
     rescore_pairs_exact,
     with_jaccard,
 )
@@ -93,6 +94,7 @@ class LinkagePipeline:
     """Staged, resumable run of the full linkage dataflow."""
 
     STAGES = ("turns", "postings", "pairs", "scores", "edges", "entities")
+    AUTO_SALT_BUCKETS = 8  # bucket count used when salt_buckets="auto" fires
 
     def __init__(
         self,
@@ -101,10 +103,21 @@ class LinkagePipeline:
         jaccard_threshold: float = 0.6,
         min_matches: int = 2,
         max_df: int | None = None,
-        salt_buckets: int | None = None,
+        salt_buckets: int | str | None = "auto",
         compute_jw: bool = True,
         jw_threshold: float | None = None,
     ):
+        # salt_buckets="auto" (the default): the pipeline self-protects
+        # against trigram skew. It runs hot_trigrams() over the postings
+        # stage (one map-side-combined agg to <= 28^3 rows, driver-cheap)
+        # and salts AUTO_SALT_BUCKETS ways exactly those keys whose own
+        # pair output d(d-1)/2 exceeds a shuffle task's fair share
+        # (d > sqrt(sum(df^2)/shuffle_partitions), floored at 2B -- the
+        # documented threshold, see hot_trigrams). A uniform corpus yields
+        # an empty hot list and the plain single-join plan; a skewed one
+        # activates the salted branch for its heavy keys only. The
+        # decision is recorded in metrics["pairs_salting"]. Pass an int to
+        # force the bucket count, or None/0 to disable skew protection.
         self.spark = spark
         self.workdir = workdir
         self.config = {
@@ -164,6 +177,22 @@ class LinkagePipeline:
             fh.write(self._fingerprint(stage))
         return out
 
+    def _resolve_salting(self, postings: DataFrame) -> tuple[int | None, list | None]:
+        """(salt_buckets, hot_keys) for candidate_pairs, per the configured
+        skew policy; records the decision in metrics["pairs_salting"]."""
+        sb = self.config["salt_buckets"]
+        if not sb:
+            return None, None
+        b = self.AUTO_SALT_BUCKETS if sb == "auto" else int(sb)
+        hot, threshold = hot_trigrams(postings, b)
+        self.metrics["pairs_salting"] = {
+            "buckets": b,
+            "hot_df_threshold": threshold,
+            "hot_key_count": len(hot),
+            "active": bool(hot),
+        }
+        return (b if hot else None), hot
+
     def _load_or(self, stage: str, build) -> DataFrame:
         if self._is_done(stage):
             out = self.spark.read.parquet(self._path(stage))
@@ -180,6 +209,7 @@ class LinkagePipeline:
 
         def _pairs():
             max_df = self.config["max_df"]
+            salt_b, hot_keys = self._resolve_salting(postings)
             if max_df:
                 # Two-phase blocking (the scale path): hot trigrams are
                 # excluded from candidate *generation* (bounding the
@@ -191,7 +221,8 @@ class LinkagePipeline:
                     postings,
                     min_matches=1,
                     max_df=max_df,
-                    salt_buckets=self.config["salt_buckets"],
+                    salt_buckets=salt_b,
+                    hot_keys=hot_keys,
                     # phase 2 recomputes matches/weights exactly, so phase 1
                     # ships bare (ref_a, ref_b) through the pair-dedup
                     # shuffle -- the pipeline's dominant shuffle
@@ -205,7 +236,8 @@ class LinkagePipeline:
             raw = candidate_pairs(
                 postings,
                 min_matches=self.config["min_matches"],
-                salt_buckets=self.config["salt_buckets"],
+                salt_buckets=salt_b,
+                hot_keys=hot_keys,
             )
             return with_jaccard(raw, postings)
 

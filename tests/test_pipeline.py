@@ -69,8 +69,12 @@ def test_pipeline_end_to_end(spark, tmp_path):
 
     # --- manifest written with per-stage metrics
     manifest = json.load(open(os.path.join(str(tmp_path), "_manifest.json")))
-    assert set(manifest["stages"]) == set(LinkagePipeline.STAGES)
-    assert all(not s["skipped"] for s in manifest["stages"].values())
+    assert set(manifest["stages"]) == set(LinkagePipeline.STAGES) | {"pairs_salting"}
+    assert all(
+        not s["skipped"]
+        for k, s in manifest["stages"].items()
+        if k in LinkagePipeline.STAGES
+    )
 
 
 def test_pipeline_resume_skips_stages(spark, tmp_path):
@@ -82,7 +86,9 @@ def test_pipeline_resume_skips_stages(spark, tmp_path):
 
     pipe2 = LinkagePipeline(spark, str(tmp_path), jaccard_threshold=0.5)
     out2 = pipe2.run(transcripts).orderBy("ref").collect()
-    assert all(s["skipped"] for s in pipe2.metrics.values())
+    assert all(
+        s["skipped"] for k, s in pipe2.metrics.items() if k in LinkagePipeline.STAGES
+    )
     assert out1 == out2
 
     # changed config -> fingerprint mismatch -> stages rerun
@@ -160,3 +166,83 @@ def test_input_identity_tracks_file_contents(spark, tmp_path):
     # computed (non-file-backed) inputs degrade to the plan's semantic hash
     ident3 = input_identity(spark.createDataFrame([(1, "x")], "a int, b string"))
     assert "semantic_hash" in ident3
+
+
+def _word(rng):
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(5))
+
+
+def _toy_transcripts(spark, n_docs, hot_docs=0, seed=7):
+    """One-turn conversations of random 5-letter words; the first
+    ``hot_docs`` docs additionally carry the shared 2-letter word "zq"
+    (surrounded by varying words), whose two interior trigrams " zq"/"zq "
+    get df = hot_docs while every other trigram stays rare."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        words = [_word(rng) for _ in range(8)]
+        if i < hot_docs:
+            words.insert(4, "zq")
+        rows.append((f"c{i:05d}", 0, " ".join(words)))
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def test_pipeline_auto_salting_activates_on_skew_only(spark, tmp_path):
+    """Round-4 verdict #2: the pipeline's default salt_buckets="auto" is a
+    df-driven skew decision -- on a corpus with a dominant trigram the
+    salted (two-join union) plan activates for the hot keys only, on a
+    uniform corpus the plain single-join plan runs, and the decision is
+    recorded in the run manifest."""
+    from blurrily_spark.operators.pairs import candidate_pairs, hot_trigrams
+    from blurrily_spark.plans.pipeline import build_turns, turns_to_postings
+
+    # --- uniform: nothing hot, plain plan, pipeline still green
+    uni = _toy_transcripts(spark, 120, hot_docs=0)
+    pipe_u = LinkagePipeline(
+        spark, str(tmp_path / "uni"), min_matches=2, compute_jw=False
+    )
+    pipe_u.run(uni)
+    assert pipe_u.metrics["pairs_salting"]["active"] is False
+    assert pipe_u.metrics["pairs_salting"]["hot_key_count"] == 0
+
+    # --- skewed: the shared-word trigrams cross the fair-share threshold
+    # 200/500 docs share the word: its two trigrams reach df=205 against a
+    # fair-share threshold of ~155 (the 100-doc variant's df=105 correctly
+    # stays UNDER the ~127 threshold -- two keys at 105 are not a straggler)
+    skew = _toy_transcripts(spark, 500, hot_docs=200)
+    pipe_s = LinkagePipeline(
+        spark, str(tmp_path / "skew"), min_matches=2, compute_jw=False
+    )
+    pipe_s.run(skew)
+    m = pipe_s.metrics["pairs_salting"]
+    assert m["active"] is True and 1 <= m["hot_key_count"] <= 8
+    assert m["buckets"] == LinkagePipeline.AUTO_SALT_BUCKETS
+    # decision lands in the manifest
+    with open(os.path.join(str(tmp_path / "skew"), "_manifest.json")) as fh:
+        assert json.load(fh)["stages"]["pairs_salting"]["active"] is True
+
+    # --- plan shape (verdict #1's pin): hot-key salting = a UNION of the
+    # plain cold join and the salted hot join (the salt attribute only
+    # exists in the hot branch; the adaptive-normalize split contributes
+    # its own Union in every plan, so the salt column is the discriminator)
+    import re
+
+    postings = turns_to_postings(build_turns(skew))
+    hot, _thr = hot_trigrams(postings, LinkagePipeline.AUTO_SALT_BUCKETS)
+    assert hot
+    salted_plan = (
+        candidate_pairs(postings, salt_buckets=8, hot_keys=hot)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Union" in salted_plan and re.search(r"\bsalt#", salted_plan)
+    plain_plan = (
+        candidate_pairs(postings)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert not re.search(r"\bsalt#", plain_plan)
+
+    # salting must not change the answer: pair multisets identical
+    a = sorted(map(tuple, candidate_pairs(postings, salt_buckets=8, hot_keys=hot).collect()))
+    b = sorted(map(tuple, candidate_pairs(postings).collect()))
+    assert a == b

@@ -196,3 +196,24 @@ def test_stored_ivf_partition_pruning_and_equality(spark, emb, tmp_path):
         for r in similarity.ivf_topk_stored(spark, path, q_small, k=5, nprobe=1).collect()
     }
     assert again == small_expected
+
+
+def test_stored_ivf_query_batch_cap(spark, emb, tmp_path):
+    """Round-4 verdict #7: ivf_topk_stored's driver-side query collect is
+    bounded -- past max_queries it fails loudly with a pointer to the
+    DataFrame-native ivf_topk path instead of OOMing the driver."""
+    import pytest
+
+    corpus, q = _split(emb)
+    cents = similarity.take_centroids(corpus, 4)
+    path = str(tmp_path / "ivf_cap")
+    similarity.save_ivf_index(corpus, path, cents)
+
+    n_q = q.count()
+    assert n_q > 3
+    # under the cap: works
+    ok = similarity.ivf_topk_stored(spark, path, q, k=3, nprobe=1, max_queries=n_q)
+    assert ok.count() > 0
+    # over the cap: loud error naming the escape hatch
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.ivf_topk_stored(spark, path, q, k=3, nprobe=1, max_queries=3)
