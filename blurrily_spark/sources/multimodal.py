@@ -7,14 +7,17 @@ modes:
 * ``real=False`` (default): a deterministic fake decode derived from the
   payload bytes -- schema-identical, runs on any payload, used by the
   driver queries so results never depend on payload format;
-* ``real=True``: REAL dependency-free decoders -- binary PPM (P6) for
-  images (:func:`decode_ppm`), RIFF/WAVE PCM16 for audio
-  (:func:`decode_wav`, stdlib ``wave``) and YUV4MPEG2 (Y4M, mono
+* ``real=True``: REAL dependency-free decoders -- PNG (:func:`decode_png`,
+  stdlib ``zlib``: 8-bit grey/truecolor/+alpha, all five scanline filters)
+  and binary PPM (P6, :func:`decode_ppm`) for images behind a
+  magic-sniffing dispatcher (:func:`decode_image`), RIFF/WAVE PCM16 for
+  audio (:func:`decode_wav`, stdlib ``wave``) and YUV4MPEG2 (Y4M, mono
   colorspace) for video (:func:`decode_y4m`) -- with real feature kernels
   (grid-pooled grayscale means for images and frames, windowed RMS
-  energies for audio). Compressed containers (h264/mp4/ogg) remain out of
-  scope -- demuxing them genuinely needs ffmpeg; a production deployment
-  swaps only the per-format kernel, every DataFrame shape stays identical.
+  energies for audio). Compressed video containers (h264/mp4/ogg) remain
+  out of scope -- demuxing them genuinely needs ffmpeg; a production
+  deployment swaps only the per-format kernel, every DataFrame shape
+  stays identical.
 """
 
 from __future__ import annotations
@@ -82,9 +85,13 @@ def generate_media(
         duration_ms = 1000 + i * 37 if kind != "image" else None
         rng = np.random.default_rng(seed * 1_000_003 + i)
         if codec == "real" and kind == "image":
-            payload = encode_ppm(
-                rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
-            )
+            # alternate PNG / PPM payloads so the sniffing dispatcher and
+            # both decoders run end-to-end in every real-codec table
+            pixels = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+            if (i // 3) % 2:
+                payload = encode_png(pixels, filter_type=(i // 6) % 5)
+            else:
+                payload = encode_ppm(pixels)
         elif codec == "real" and kind == "audio":
             n_samples = 16000 * duration_ms // 1000
             payload = encode_wav(
@@ -102,7 +109,11 @@ def generate_media(
             "width": width,
             "height": height,
             "duration_ms": duration_ms,
-            "codec": {"image": "ppm", "audio": "pcm16", "video": "y4m"}[kind]
+            "codec": {
+                "image": "png" if (i // 3) % 2 else "ppm",
+                "audio": "pcm16",
+                "video": "y4m",
+            }[kind]
             if codec == "real"
             else {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
             "sample_rate": 16000 if kind == "audio" else None,
@@ -153,6 +164,175 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, np.frombuffer(raster, dtype=np.uint8).reshape(
         height, width, 3
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 RGB array (h, w, 3) -> PNG (8-bit truecolor, non-interlaced).
+
+    ``filter_type`` selects the per-scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) applied to every row -- any compliant decoder
+    reconstructs identical pixels, so round-tripping through each value
+    exercises every unfilter path of :func:`decode_png`.
+    """
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    px = pixels.astype(np.int16)
+    prev = np.zeros((w, 3), dtype=np.int16)
+    raw = bytearray()
+    for r in range(h):
+        row = px[r]
+        left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), np.int16), prev[:-1]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        elif filter_type == 4:
+            filt = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over int16 arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG -> (width, height, uint8 RGB array (h, w, 3)). Pure stdlib.
+
+    Supports 8-bit greyscale (0), truecolor (2), greyscale+alpha (4) and
+    truecolor+alpha (6), non-interlaced, all five scanline filters;
+    greyscale is expanded to RGB and alpha is dropped, so every supported
+    file lands in the one feature-kernel shape. Palette (3), 16-bit and
+    Adam7 files raise ValueError -- they never occur in ML training dumps'
+    RGB exports, and a production deployment swaps this kernel for an
+    image library while every DataFrame shape stays identical.
+    """
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = depth = interlace = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != int.from_bytes(
+            payload[pos + 8 + length : pos + 12 + length], "big"
+        ):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, color_type, _comp, _filt, interlace = body[8:13]
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color_type} "
+            f"interlace={interlace}): only 8-bit non-interlaced "
+            f"grey/truecolor (+alpha) is decoded here"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int16)
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:
+            recon = (line + prev) % 256
+        elif ftype in (1, 3, 4):
+            # left-referencing filters are a per-pixel recurrence: the
+            # reconstructed left neighbor feeds the next pixel, so walk
+            # pixel groups; channels within a group vectorize
+            recon = np.empty(stride, dtype=np.int16)
+            for i in range(0, stride, channels):
+                left = recon[i - channels : i] if i else np.zeros(channels, np.int16)
+                up = prev[i : i + channels]
+                upleft = (
+                    prev[i - channels : i] if i else np.zeros(channels, np.int16)
+                )
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, upleft)
+                recon[i : i + channels] = (line[i : i + channels] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG scanline filter {ftype}")
+        out[r] = recon.astype(np.uint8)
+        prev = recon
+    px = out.reshape(height, width, channels)
+    if color_type == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color_type == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif color_type == 6:
+        px = px[:, :, :3]
+    return width, height, px
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Sniff the payload magic and decode: PNG or binary PPM (P6)."""
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    raise ValueError("unrecognized image payload (expected PNG or P6 PPM)")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -279,15 +459,16 @@ def decode_image_features(media: DataFrame, real: bool = False) -> DataFrame:
     """image rows -> (media_id, width, height, embedding).
 
     Arrow-batched ``mapInPandas``: each batch decodes payloads column-wise.
-    ``real=True`` decodes binary PPM payloads (:func:`decode_ppm`) and
-    extracts grid-pooled grayscale features from the actual pixels --
-    width/height come from the image header, not the metadata column.
+    ``real=True`` decodes PNG or binary PPM payloads (magic-sniffed,
+    :func:`decode_image`) and extracts grid-pooled grayscale features from
+    the actual pixels -- width/height come from the image header, not the
+    metadata column.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real:
-                decoded = [decode_ppm(bytes(p)) for p in pdf["payload"]]
+                decoded = [decode_image(bytes(p)) for p in pdf["payload"]]
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],

@@ -77,12 +77,12 @@ def test_wav_roundtrip_samples_exact():
 
 
 def test_real_image_decode_end_to_end(spark):
-    """real=True over real PPM payloads: width/height come from the decoded
-    header and the embedding is the grid-pooled grayscale of the actual
-    pixels (cross-checked against a local numpy decode)."""
+    """real=True over a mix of real PNG and PPM payloads: width/height come
+    from the decoded header and the embedding is the grid-pooled grayscale
+    of the actual pixels (cross-checked against a local numpy decode)."""
     import numpy as np
 
-    from blurrily_spark.sources.multimodal import _image_embedding, decode_ppm
+    from blurrily_spark.sources.multimodal import _image_embedding, decode_image
 
     media = generate_media(spark, n=12, seed=3, codec="real")
     rows = {r["media_id"]: r for r in decode_image_features(media, real=True).collect()}
@@ -92,9 +92,12 @@ def test_real_image_decode_end_to_end(spark):
     for mid, (meta, payload) in metas.items():
         assert rows[mid]["width"] == meta["width"]
         assert rows[mid]["height"] == meta["height"]
-        _, _, px = decode_ppm(payload)
+        _, _, px = decode_image(payload)
         expected = _image_embedding(px)
         assert np.allclose(rows[mid]["embedding"], expected)
+    # the table really mixes both formats (dispatcher exercised end-to-end)
+    codecs = {m["codec"] for m, _ in metas.values()}
+    assert codecs == {"png", "ppm"}
 
 
 def test_real_audio_decode_end_to_end(spark):
@@ -165,3 +168,81 @@ def test_real_decode_on_foreign_payloads_fails_loudly(spark):
     with pytest.raises(Exception) as exc:
         decode_image_features(media, real=True).collect()
     assert "PPM" in str(exc.value)
+
+
+def test_png_roundtrip_all_filters():
+    """Round-4 verdict #6: dependency-free PNG. Encoding with each of the
+    five scanline filters must reconstruct bit-identical pixels, covering
+    every unfilter path (None/Sub/Up/Average/Paeth)."""
+    import numpy as np
+
+    from blurrily_spark.sources.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
+    for ftype in range(5):
+        payload = encode_png(px, filter_type=ftype)
+        w, h, got = decode_png(payload)
+        assert (w, h) == (31, 23), ftype
+        assert np.array_equal(got, px), f"filter {ftype} not lossless"
+
+
+def test_png_colortypes_and_guards():
+    """Greyscale and alpha variants land in the RGB kernel shape; palette /
+    16-bit / corrupt files fail loudly."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from blurrily_spark.sources.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    def make_png(raw_rows, width, height, color_type, depth=8):
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        raw = b"".join(b"\x00" + r.tobytes() for r in raw_rows)
+        ihdr = (
+            width.to_bytes(4, "big")
+            + height.to_bytes(4, "big")
+            + bytes([depth, color_type, 0, 0, 0])
+        )
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(5)
+    # greyscale -> replicated channels
+    g = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    w, h, px = decode_png(make_png(list(g), 6, 4, color_type=0))
+    assert (w, h) == (6, 4)
+    assert np.array_equal(px, np.repeat(g[:, :, None], 3, axis=2))
+    # RGBA -> alpha dropped
+    rgba = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    _, _, px = decode_png(make_png(list(rgba), 5, 3, color_type=6))
+    assert np.array_equal(px, rgba[:, :, :3])
+    # grey+alpha -> grey replicated
+    ga = rng.integers(0, 256, size=(2, 4, 2), dtype=np.uint8)
+    _, _, px = decode_png(make_png(list(ga), 4, 2, color_type=4))
+    assert np.array_equal(px, np.repeat(ga[:, :, :1], 3, axis=2))
+    # palette and 16-bit refuse with the documented error
+    pal = rng.integers(0, 2, size=(2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(make_png(list(pal), 2, 2, color_type=3))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(make_png(list(g), 6, 4, color_type=0, depth=16))
+    # CRC corruption is caught
+    good = bytearray(encode_png(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
+    good[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|PNG"):
+        decode_png(bytes(good))
+    # the dispatcher sniffs magics and rejects foreign payloads
+    with pytest.raises(ValueError, match="PNG or P6"):
+        decode_image(b"GIF89a not supported")
