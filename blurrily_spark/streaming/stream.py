@@ -29,7 +29,7 @@ maintenance (rewrite/compact actions) on a real cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blurrily_spark.plans.pipeline import build_turns, turns_to_postings
@@ -78,6 +78,64 @@ def _ensure_sidecar(data_sink: BatchSink, sidecar: BatchSink, key_cols: list[str
     )
 
 
+def _maybe_compact(
+    sinks: list[BatchSink], compact_every: int | None, batch_rows: int | None
+) -> bool:
+    """Opportunistic compaction gate (round-4 verdict #4): keep the
+    O(1 + recent) read bound WITHOUT stalling a busy trigger.
+
+    Compaction rewrites the whole base -- O(history) work -- so running it
+    inline on a trigger that just processed real data stacks that cost on
+    top of the batch's own latency. The gate therefore has two tiers:
+
+    * **soft window** (``compact_every <= uncompacted < 2*compact_every``):
+      compact only when this trigger was effectively idle (``batch_rows ==
+      0`` -- a tick with no new rows, e.g. replays or empty file listings),
+      i.e. the stream donates a quiet trigger rather than a busy one;
+    * **hard cap** (``uncompacted >= 2*compact_every``): compact
+      unconditionally -- the read bound is a guarantee, not a hint, so a
+      stream that never goes idle still pays at most one stalled trigger
+      per ``compact_every`` batches, with the bound at 2x the configured
+      value.
+
+    ``batch_rows=None`` (unknown, e.g. a replayed batch whose write was
+    skipped) is treated as busy. The production-grade alternative is
+    :func:`maintenance_compact` from a scheduled job during quiescence --
+    Iceberg/Delta ``rewrite_data_files`` territory; this inline gate is the
+    fallback bound for deployments without one.
+    """
+    uncompacted = len(sinks[0].committed_ids())
+    if not compact_every or uncompacted < compact_every:
+        return False
+    idle = batch_rows == 0
+    if not idle and uncompacted < 2 * compact_every:
+        return False
+    for s in sinks:
+        s.compact()
+    return True
+
+
+def maintenance_compact(spark: SparkSession, *directories: str) -> int:
+    """Fold each sink directory (and its nested sidecars) into a fresh base
+    snapshot -- the maintenance-job face of compaction, meant to run while
+    the owning stream is stopped or provably between triggers (the same
+    quiescence contract as :meth:`BatchSink.compact`; see its docstring).
+
+    Typical deployment: the stream runs with ``compact_every=None`` (no
+    inline compaction, zero trigger stalls) and a scheduler runs this
+    during a quiet window::
+
+        maintenance_compact(spark, index_dir, refs_sidecar_dir(index_dir))
+
+    Returns the number of sinks that actually folded anything.
+    """
+    changed = 0
+    for d in directories:
+        if BatchSink(spark, d).compact():
+            changed += 1
+    return changed
+
+
 def index_batch_writer(output_dir: str, checkpoint_dir: str | None = None,
                        compact_every: int | None = None):
     """foreachBatch body for :func:`stream_index_build` (module-level so
@@ -98,9 +156,13 @@ def index_batch_writer(output_dir: str, checkpoint_dir: str | None = None,
          if already committed -- a partial-commit replay recomputes the
          identical rows from the pre-batch history and publishes only the
          missing sink, never rewriting a committed one);
-      5. optionally compact both sinks once ``compact_every`` uncompacted
-         batches have accumulated (safe here: every sink of this batch
-         group is committed by then).
+      5. optionally compact both sinks via the opportunistic gate
+         (:func:`_maybe_compact`): past ``compact_every`` uncompacted
+         batches, fold on the next idle trigger; past twice that, fold
+         regardless so the read bound holds (safe here: every sink of
+         this batch group is committed by then). Production deployments
+         prefer :func:`maintenance_compact` from a scheduled quiet-window
+         job with ``compact_every=None``.
 
     ``checkpoint_dir``, when given, is claimed as the sink's identity --
     reusing this output directory with a different checkpoint fails loudly
@@ -128,17 +190,25 @@ def index_batch_writer(output_dir: str, checkpoint_dir: str | None = None,
         existing_refs = ref_sink.read(exclude=batch_id)
         if existing_refs is not None:
             fresh = fresh.join(existing_refs, "ref", "left_anti")
+        batch_rows = None
         if not sink.is_committed(batch_id):
-            sink.write(turns_to_postings(fresh), batch_id)
+            # row count rides the write job itself (CollectMetrics) -- it
+            # feeds the opportunistic compaction gate with no extra scan
+            obs = Observation(f"blurrily_idx_{batch_id}")
+            sink.write(
+                turns_to_postings(fresh).observe(
+                    obs, F.count(F.lit(1)).alias("rows")
+                ),
+                batch_id,
+            )
             sink.commit(batch_id)
+            batch_rows = obs.get["rows"]
         if not ref_sink.is_committed(batch_id):
             # refs are unique across batches by construction (the anti-join
             # above), so the sidecar needs no distinct at fold time
             ref_sink.write(fresh.select("ref"), batch_id)
             ref_sink.commit(batch_id)
-        if compact_every and len(sink.committed_ids()) >= compact_every:
-            sink.compact()
-            ref_sink.compact()
+        _maybe_compact([sink, ref_sink], compact_every, batch_rows)
 
     return _append_batch
 
@@ -164,10 +234,13 @@ def stream_index_build(
     ``output_dir`` is paired for life with ``checkpoint_dir`` (the sink
     claims it as its identity); pointing a FRESH checkpoint at a used
     output directory raises instead of silently dropping restarted batch
-    ids as replays. ``compact_every`` folds the sink into a base snapshot
-    once that many uncompacted batches accumulate, so read fan-out and the
-    membership sidecar stay O(1 + recent batches) over the stream's life
-    (None disables).
+    ids as replays. ``compact_every`` bounds read fan-out at O(1 + recent
+    batches) for the stream's life via the opportunistic gate of
+    :func:`_maybe_compact` -- an idle trigger donates the fold; a stream
+    that never idles folds at 2x the threshold, stalling at most one
+    trigger per ``compact_every`` batches. ``None`` disables inline
+    compaction entirely; pair it with :func:`maintenance_compact` from a
+    scheduled job for zero trigger stalls.
     """
     src = read_transcripts_stream(spark, input_dir)
     writer = (
@@ -279,22 +352,25 @@ def minhash_batch_writer(
             # rewrite) could see a marker with no data behind it. The
             # recompute is deterministic, so the skipped sink's contents
             # already equal what this replay would write.
+            batch_rows = None
             if not pair_sink.is_committed(batch_id):
                 pair_sink.write(pairs, batch_id)
                 pair_sink.commit(batch_id)
             if not sig_sink.is_committed(batch_id):
-                sig_sink.write(new_banded, batch_id)
+                obs = Observation(f"blurrily_mh_{batch_id}")
+                sig_sink.write(
+                    new_banded.observe(obs, F.count(F.lit(1)).alias("rows")),
+                    batch_id,
+                )
                 sig_sink.commit(batch_id)
+                batch_rows = obs.get["rows"]
             if not id_sink.is_committed(batch_id):
                 # from the CACHED banded rows -- no re-signing pass
                 id_sink.write(new_banded.select("id").distinct(), batch_id)
                 id_sink.commit(batch_id)
         finally:
             new_banded.unpersist()
-        if compact_every and len(sig_sink.committed_ids()) >= compact_every:
-            sig_sink.compact()
-            pair_sink.compact()
-            id_sink.compact()
+        _maybe_compact([sig_sink, pair_sink, id_sink], compact_every, batch_rows)
 
     return _batch
 

@@ -387,23 +387,28 @@ def test_minhash_sidecar_and_compaction(spark, tmp_path):
     p1 = {(r["id_a"], r["id_b"]) for r in read_sink(spark, pairs).collect()}
     assert p1
 
-    # batch 1 (near-dups of batch 0's entities) -> hits compact_every=2:
-    # all three sinks fold
+    # batch 1 (near-dups of batch 0's entities) crosses compact_every=2,
+    # but a BUSY trigger defers the fold (opportunistic gate); the idle
+    # trigger after it donates the fold for all three sinks
     batch2 = generate_transcripts(spark, n_entities=3, variants_per_entity=4,
                                   turns_per_conv=3, n_perturbations=1, seed=3)
     batch2 = batch2.where(batch2.conv_id.endswith("_v02") | batch2.conv_id.endswith("_v03"))
     writer(batch2, 1)
     sig_sink = BatchSink(spark, sigs)
+    assert len(sig_sink.read_paths()) == 2, "busy trigger must defer the fold"
+    from blurrily_spark.sources.synth import TRANSCRIPTS_SCHEMA
+
+    writer(spark.createDataFrame([], TRANSCRIPTS_SCHEMA), 2)
     assert len(sig_sink.read_paths()) == 1, "sigs history not compacted"
     assert len(id_sink.read_paths()) == 1
     all_pairs = [(r["id_a"], r["id_b"]) for r in read_sink(spark, pairs).collect()]
     assert len(all_pairs) == len(set(all_pairs))
     assert p1 < set(all_pairs), "cross-batch dups missing after sidecar change"
 
-    # batch 2 re-sends batch 0's rows: the folded ids sidecar blocks them
+    # batch 3 re-sends batch 0's rows: the folded ids sidecar blocks them
     n_sigs = read_sink(spark, sigs).count()
     n_pairs = len(all_pairs)
-    writer(batch1, 2)
+    writer(batch1, 3)
     assert read_sink(spark, sigs).count() == n_sigs, "seen ids re-signed"
     assert read_sink(spark, pairs).count() == n_pairs, "duplicate pairs emitted"
 
@@ -516,3 +521,69 @@ def test_claim_lost_race_fails_loudly(spark, tmp_path, monkeypatch):
     # the winner's pairing was not overwritten
     assert read_small_file(spark, f"{out}/_identity") == b"winner-ckpt"
     sink.claim("winner-ckpt")  # and the winner still claims fine
+
+
+def test_opportunistic_compaction_off_hot_trigger(spark, tmp_path):
+    """Round-4 verdict #4: with compact_every=2 over many triggers the
+    sink never violates exactly-once and read_paths stays bounded, while
+    busy triggers inside the soft window do NOT pay the fold -- an idle
+    trigger (or the 2x hard cap) donates it."""
+    from blurrily_spark.sources.synth import TRANSCRIPTS_SCHEMA
+    from blurrily_spark.streaming.stream import maintenance_compact, refs_sidecar_dir
+
+    out = str(tmp_path / "out")
+    writer = index_batch_writer(out, compact_every=2)
+    sink = BatchSink(spark, out)
+    ref_sink = BatchSink(spark, refs_sidecar_dir(out))
+    empty = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    batches = {
+        s: generate_transcripts(spark, n_entities=2, seed=s, entity_offset=100 * s)
+        for s in range(5)
+    }
+
+    # busy triggers 0..2: past the threshold (uncompacted 2, then 3) but
+    # every trigger carried rows, so the soft window defers the fold
+    for i in range(3):
+        writer(batches[i], i)
+    assert sink._base_state() == (None, -1), "busy trigger must not compact"
+    assert len(sink.read_paths()) == 3
+
+    # busy trigger 3: uncompacted hits 2*compact_every -> hard cap folds
+    writer(batches[3], 3)
+    gen, folded = sink._base_state()
+    assert gen == 1 and folded == 3, "hard cap must fold the backlog"
+    assert len(sink.read_paths()) == 1
+
+    # busy trigger 4 appends; idle trigger 5 (zero rows) donates the fold
+    writer(batches[4], 4)
+    assert sink._base_state()[0] == 1  # soft window, busy -> deferred
+    writer(empty, 5)
+    gen2, folded2 = sink._base_state()
+    assert gen2 == 2 and folded2 == 5, "idle trigger must compact"
+    assert len(sink.read_paths()) == 1
+    assert len(ref_sink.read_paths()) == 1
+
+    # exactly-once held throughout: rows identical to a never-compacted
+    # run of the same batch sequence, and folded replays stay no-ops
+    out2 = str(tmp_path / "out2")
+    writer2 = index_batch_writer(out2)  # no compaction at all
+    for i in range(5):
+        writer2(batches[i], i)
+    expect = {
+        (r["ref"], r["trigram"], r["weight"]) for r in read_sink(spark, out2).collect()
+    }
+    got = {
+        (r["ref"], r["trigram"], r["weight"]) for r in sink.read().collect()
+    }
+    assert got == expect
+    n = sink.read().count()
+    writer(batches[2], 2)  # folded id replays as a no-op
+    assert sink.read().count() == n
+    writer(batches[1], 6)  # re-sent refs blocked by the folded sidecar
+    assert sink.read().count() == n
+
+    # the maintenance-job face folds whatever accumulated (batch-6's empty
+    # dir plus the bases) back to one path per sink
+    assert maintenance_compact(spark, out, refs_sidecar_dir(out)) == 2
+    assert len(sink.read_paths()) == 1
+    assert sink.read().count() == n
