@@ -52,6 +52,7 @@ EMB_SUBSET = 200    # embedding near-dup corpus: vec_id < 200 + injected dups
 EMB_DUP_OFFSET = 10_000
 EMB_DIM = 64
 NEARDUP_COS = 0.95
+SEM_K = 6           # semantic_dedup coarse codebook (take_centroids): exact oracle
 RP_BITS = 32
 RP_MAX_HAMMING = 6
 RP_SEED = 11
@@ -446,6 +447,17 @@ def q_rp_lsh_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    # SemDeDup over the injected-dup embedding corpus with the deterministic
+    # take_centroids codebook, so DuckDB re-derives cluster assignment, the
+    # within-cluster dup graph, CC, and the min-id keeper bit-for-bit.
+    corpus = _emb_with_dups(spark, sf_dir)
+    cents = similarity.take_centroids(corpus, SEM_K, vec_col="vec")
+    return similarity.semantic_dedup(
+        corpus, cents, threshold=NEARDUP_COS, vec_col="vec"
+    )
+
+
 def q_events_window(spark, sf_dir):
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return events.groupBy(
@@ -543,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_invariant": q_ann_ivf_invariant,
         "cosine_near_dups": q_cosine_near_dups,
         "rp_lsh_near_dups": q_rp_lsh_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "events_window_agg": q_events_window,
         "multimodal_features": q_multimodal,
     }
@@ -1060,6 +1073,35 @@ SELECT id_a, id_b, round(cos, 5) AS cos FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.vec', 'b.vec')} AS cos
   FROM vsigs a JOIN vsigs b ON a.vec_id < b.vec_id AND ({chunk_eq})
 ) WHERE cos >= {NEARDUP_COS}"""
+
+    # semantic_dedup: full SemDeDup re-derivation -- take_centroids codebook,
+    # argmax-cosine assignment (tie -> lowest cidx, mirroring Spark's
+    # array_position-of-array_max), within-bucket pairs >= threshold, CC via
+    # recursive min-label walk, smallest-id keeper painted back.
+    out["semantic_dedup"] = f"""WITH RECURSIVE {emb_corpus},
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx, vec AS cvec
+  FROM vcorpus ORDER BY vec_id LIMIT {SEM_K}
+),
+cassign AS (
+  SELECT vec_id, vec, cidx AS bucket FROM (
+    SELECT v.vec_id, v.vec, t.cidx,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {_cos('v.vec', 't.cvec')} DESC, t.cidx ASC) AS rn
+    FROM vcorpus v, cents t
+  ) WHERE rn = 1
+),
+edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM cassign a JOIN cassign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cos('a.vec', 'b.vec')} >= {NEARDUP_COS}
+),
+{oracle.cc_walk_ctes('edges')},
+comp AS (SELECT node, CAST(min(label) AS BIGINT) AS keep FROM walk GROUP BY node)
+SELECT v.vec_id AS id,
+       CAST(coalesce(c.keep, v.vec_id) AS BIGINT) AS keep_id,
+       CAST(CASE WHEN coalesce(c.keep, v.vec_id) <> v.vec_id THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM vcorpus v LEFT JOIN comp c ON c.node = v.vec_id"""
 
     out["events_window_agg"] = """SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

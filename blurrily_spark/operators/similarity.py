@@ -511,6 +511,89 @@ def rp_lsh_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings against a coarse codebook, call members of the same
+    cluster whose cosine exceeds ``threshold`` semantic duplicates, and
+    keep one representative per connected duplicate group.
+
+    Returns one row per input vector: ``(id, keep_id, is_dup)`` -- the same
+    retained-corpus face as :func:`blurrily_spark.operators.dedup.near_dedup`,
+    so the two compose (lexical MinHash pass, then a semantic pass over the
+    survivors' embeddings).
+
+    ``keep`` elects the representative inside each duplicate group:
+
+    - ``'min_id'`` -- smallest id (deterministic; consistent with every
+      other dedup operator here, and what the DuckDB oracle re-derives);
+    - ``'far_from_centroid'`` -- the paper's rule: keep the member with the
+      LOWEST cosine to its cluster centroid (the one adding most diversity
+      to the retained set); ties break to the lowest id. A group that CC
+      merged across buckets still elects exactly one keeper (each member's
+      centroid cosine is measured against its own bucket).
+
+    Scale shape: pairwise work happens only INSIDE a cluster -- the paper
+    sizes k ~ sqrt(n) precisely so clusters stay small -- and it is an
+    equi-join on ``bucket``, never an all-pairs product. Threshold fires
+    before the edges shuffle into CC; CC iterates over the dup graph only
+    (tiny relative to the corpus); one final left join paints keepers back.
+    Nothing lives driver-side but the codebook itself.
+    """
+    from blurrily_spark.operators.cluster import connected_components
+
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}")
+
+    assigned = assign_buckets(emb, centroids, id_col, vec_col)
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "bucket")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket")
+    edges = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comps = connected_components(edges).withColumnRenamed("ref", "id")
+    ids = assigned.select(F.col("vec_id").cast("long").alias("id"))
+    if keep == "min_id":
+        keep_col = F.coalesce("entity_id", F.col("id"))
+        return ids.join(comps, "id", "left").select(
+            "id",
+            keep_col.alias("keep_id"),
+            (keep_col != F.col("id")).cast("int").alias("is_dup"),
+        )
+    # far_from_centroid: keeper = argmin (centroid cosine, id) per component.
+    # min(struct(...)) is one partial-aggregating shuffle over dup-group
+    # members only -- no window, no id negation (ANSI-safe tie-break).
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    ccos = cosine(F.col("_v"), F.element_at(cents, F.col("bucket") + 1))
+    members = assigned.select(
+        F.col("vec_id").cast("long").alias("id"), ccos.alias("_ccos")
+    ).join(comps, "id")
+    keepers = (
+        members.groupBy("entity_id")
+        .agg(F.min(F.struct(F.col("_ccos"), F.col("id"))).alias("_k"))
+        .select("entity_id", F.col("_k.id").alias("_keeper"))
+    )
+    keep_col = F.coalesce("_keeper", F.col("id"))
+    return (
+        ids.join(comps, "id", "left")
+        .join(keepers, "entity_id", "left")
+        .select(
+            "id",
+            keep_col.alias("keep_id"),
+            (keep_col != F.col("id")).cast("int").alias("is_dup"),
+        )
+    )
+
+
 def take_centroids(
     corpus: DataFrame,
     n: int = 8,

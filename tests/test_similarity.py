@@ -217,3 +217,110 @@ def test_stored_ivf_query_batch_cap(spark, emb, tmp_path):
     # over the cap: loud error naming the escape hatch
     with pytest.raises(ValueError, match="ivf_topk"):
         similarity.ivf_topk_stored(spark, path, q, k=3, nprobe=1, max_queries=3)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+SEM_CORPUS = [
+    # cluster A (centroid [1,0,0,0]): 1 ~ 2 near-identical, 3 same bucket
+    # but below threshold to both
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.999, 0.02, 0.0, 0.0]),
+    (3, [0.8, 0.6, 0.0, 0.0]),
+    # cluster B (centroid [0,1,0,0]): 10 ~ 11 near-identical
+    (10, [0.0, 1.0, 0.0, 0.0]),
+    (11, [0.02, 0.999, 0.0, 0.0]),
+]
+SEM_CENTS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+
+def _sem_df(spark):
+    return spark.createDataFrame(
+        SEM_CORPUS, "vec_id long, embedding array<double>"
+    )
+
+
+def test_semantic_dedup_planted_groups_min_id(spark):
+    out = similarity.semantic_dedup(_sem_df(spark), SEM_CENTS, threshold=0.95)
+    got = {r["id"]: (r["keep_id"], r["is_dup"]) for r in out.collect()}
+    assert got == {
+        1: (1, 0),
+        2: (1, 1),
+        3: (3, 0),  # same bucket as 1/2 but cos < threshold -> singleton
+        10: (10, 0),
+        11: (10, 1),
+    }
+
+
+def test_semantic_dedup_far_from_centroid_keeper(spark):
+    """The paper's keeper rule: within a dup group, retain the member
+    LEAST similar to its cluster centroid (most diversity kept). Here 2
+    and 11 are the perturbed members, so they win over the exemplars."""
+    out = similarity.semantic_dedup(
+        _sem_df(spark), SEM_CENTS, threshold=0.95, keep="far_from_centroid"
+    )
+    got = {r["id"]: (r["keep_id"], r["is_dup"]) for r in out.collect()}
+    assert got == {
+        1: (2, 1),
+        2: (2, 0),
+        3: (3, 0),
+        10: (11, 1),
+        11: (11, 0),
+    }
+
+
+def test_semantic_dedup_invalid_keep_raises(spark):
+    with pytest.raises(ValueError, match="far_from_centroid"):
+        similarity.semantic_dedup(_sem_df(spark), SEM_CENTS, keep="nope")
+
+
+def test_semantic_dedup_single_cluster_matches_brute_cc(spark, emb):
+    """k=1 degenerates to all-pairs-within-one-cluster: the result must
+    equal a Python union-find over the brute-force qualifying pairs."""
+    base = emb.where(F.col("vec_id") < 30).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    v = F.col("vec")
+    shifted = F.concat(F.slice(v, 2, F.size(v) - 1), F.slice(v, 1, 1))
+    dup = F.zip_with(v, shifted, lambda a, b: a + F.lit(0.05) * b)
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 1000).alias("vec_id"), dup.alias("vec"))
+    )
+    cents = similarity.take_centroids(corpus, 1, vec_col="vec")
+    out = similarity.semantic_dedup(corpus, cents, threshold=0.95, vec_col="vec")
+
+    pairs = similarity.cosine_near_dup_pairs(
+        corpus, threshold=0.95, vec_col="vec"
+    ).collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = [r["vec_id"] for r in corpus.select("vec_id").collect()]
+    expected = {i: min(find(i), i) if i in parent else i for i in ids}
+    got = {r["id"]: r["keep_id"] for r in out.collect()}
+    assert got == expected
+    # every injected dup must actually be flagged (cos ~ 0.9987 >> 0.95)
+    flagged = {r["id"] for r in out.collect() if r["is_dup"] == 1}
+    assert len(flagged) >= 30
+
+
+def test_semantic_dedup_plan_has_no_cartesian(spark):
+    """The within-cluster pair join must be an equi-join on bucket -- a
+    cartesian product over the corpus would be the SemDeDup scale bug."""
+    plan = similarity.semantic_dedup(
+        _sem_df(spark), SEM_CENTS, threshold=0.95
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
