@@ -30,6 +30,9 @@ Queries:
   q_contamination  -- benchmark decontamination: 8-gram overlap of every
                       document against a leaked-subset holdout (fast hash
                       family)
+  q_semantic_dedup -- SemDeDup pass (cluster-assign -> within-cluster
+                      cosine dup graph -> CC -> keeper) over the full
+                      dup-injected embedding corpus; codebook untimed
   q_cosine_topk    -- brute-force embedding top-k
   q_ann_ivf        -- IVF ANN top-k (trained codebook; recall@5 vs brute
                       force reported as ann_recall_at5)
@@ -273,6 +276,31 @@ def main() -> None:
             ).collect()
         ),
     )
+    # round 5: SemDeDup pass over the full dup-injected embedding corpus.
+    # Codebook training is untimed (in production it is amortized across
+    # many corpus snapshots); the timed job is assign -> within-cluster
+    # pairs -> CC -> keeper paint-back.
+    emb_all = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec"))
+    sem_shift = F.concat(
+        F.slice(F.col("vec"), 2, F.size("vec") - 1), F.slice(F.col("vec"), 1, 1)
+    )
+    sem_dup = F.zip_with(F.col("vec"), sem_shift, lambda a, b: a + F.lit(0.05) * b)
+    sem_corpus = emb_all.unionByName(
+        emb_all.select((F.col("vec_id") + 1_000_000).alias("vec_id"), sem_dup.alias("vec"))
+    ).cache()
+    sem_corpus.count()
+    sem_cents = similarity.kmeans_centroids(sem_corpus, k=16, iterations=2, vec_col="vec")
+    timed(
+        "q_semantic_dedup",
+        lambda: similarity.semantic_dedup(
+            sem_corpus, sem_cents, threshold=0.95, vec_col="vec"
+        )
+        .where("is_dup = 1")
+        .count(),
+    )
+
     # full linkage pipeline over synthetic transcripts -- registered like
     # every other query so its trials interleave too (a fresh workdir per
     # invocation: a reused one would hit the pipeline's stage-resume cache
@@ -308,6 +336,7 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
     extras["ann_recall_at5"] = round(len(got & bf) / len(bf), 3)
     corpus.unpersist()
+    sem_corpus.unpersist()
 
     # report the INNER wall (pipe.run only, comparable with prior rounds
     # -- timed() around _run_linkage also counts mkdtemp/rmtree) and take
