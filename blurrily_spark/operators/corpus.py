@@ -203,3 +203,115 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("id", "rank", "term", "tf", "df_term", "tfidf")
     )
+
+
+# -- deterministic sampling / splitting --------------------------------------
+#
+# Corpus mixture control (downsample a source to X%, carve train/val/test)
+# must be REPRODUCIBLE across runs, engines, and cluster sizes -- Spark's
+# df.sample() is none of those (it is partition-order dependent). These two
+# operators decide each row from a pure integer function of its key, so the
+# same row always lands the same way: a zero-shuffle, codegen'd projection
+# at any scale, and the DuckDB oracles repeat the arithmetic verbatim.
+
+_MINSTD = 48271
+_MINSTD_MOD = 2_147_483_647  # 2^31 - 1 (prime), the Lehmer/MINSTD modulus
+
+
+def _lcg_u(key, seed: int):
+    """Integer pseudo-uniform in ``[0, 2^31-1)`` from a row key: two
+    MINSTD (Lehmer 1988) steps over ``(key + seed) mod m``. Every
+    intermediate product is <= m * 48271 ~ 1.04e14 -- far inside int64,
+    so the SAME expression runs overflow-free on any SQL engine (the
+    oracles embed it literally), unlike xxhash64/murmur whose seeding and
+    availability differ per engine. Not cryptographic: a keyed
+    decorrelator so sampling is independent of id assignment order."""
+    m = F.lit(_MINSTD_MOD)
+    x = F.pmod(key.cast("long") + F.lit(int(seed)), m)
+    x = F.pmod(x * _MINSTD, m)
+    return F.pmod(x * _MINSTD, m)
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # floor once in Python; both engines then compare integers only --
+    # no float division anywhere near the keep decision
+    return int(fraction * _MINSTD_MOD)
+
+
+def sample_corpus(
+    df: DataFrame,
+    fraction: float | None = None,
+    *,
+    by: dict[str, float] | None = None,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic corpus (sub)sampling: keep a row iff its key's
+    :func:`_lcg_u` value falls under ``floor(fraction * (2^31-1))``.
+
+    Exactly one of ``fraction`` (uniform) or ``by`` (stratified mixture:
+    ``{stratum value -> fraction}``, rows whose stratum is absent are
+    DROPPED -- ``by`` IS the mixture spec) must be given. The decision is
+    a pure function of ``(key, seed)``: stable under repartitioning,
+    re-runs, engine changes, and corpus growth (a row's fate never
+    depends on other rows), which is what makes ablation and mixture
+    experiments comparable across pipeline versions. Plan shape: one
+    codegen'd Filter over the scan -- no shuffle, no UDF (pinned in
+    tests/test_plans.py)."""
+    if (fraction is None) == (by is None):
+        raise ValueError("pass exactly one of fraction= or by=")
+    if fraction is not None:
+        thr = F.lit(_threshold(fraction))
+    else:
+        if not by:
+            raise ValueError("by= must name at least one stratum")
+        thr = F.lit(0)
+        for value, frac in by.items():
+            thr = F.when(F.col(stratum_col) == value, F.lit(_threshold(frac))).otherwise(thr)
+    return df.where(_lcg_u(F.col(key_col), seed) < thr)
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    seed: int = 1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test carving: adds ``split_col`` naming
+    each row's split, chosen by where its :func:`_lcg_u` value falls in
+    the cumulative ``weights`` intervals (normalized; insertion order =
+    interval order). Splits are exhaustive and disjoint by construction,
+    and a row's assignment is a pure function of ``(key, seed)`` -- the
+    holdout set cannot leak into training when the corpus is re-sharded,
+    re-deduped upstream, or grown (existing rows keep their split).
+    Zero-shuffle single projection, same portability contract as
+    :func:`sample_corpus`."""
+    uppers, last = split_thresholds(weights)
+    u = _lcg_u(F.col(key_col), seed)
+    expr = F.lit(last)  # the last interval takes the remainder
+    for name, upper in reversed(uppers):
+        expr = F.when(u < upper, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_thresholds(weights: dict[str, float]) -> tuple[list[tuple[str, int]], str]:
+    """``([(name, upper_bound), ...], remainder_name)`` integer interval
+    bounds for :func:`split_corpus` -- public so an oracle can embed the
+    IDENTICAL literals (float accumulation happens exactly once, here)."""
+    items = [(str(k), float(w)) for k, w in weights.items()]
+    if len(items) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(w for _, w in items)
+    if total <= 0 or any(w < 0 for _, w in items):
+        raise ValueError("weights must be non-negative with a positive sum")
+    cum = 0.0
+    uppers = []
+    for name, w in items[:-1]:
+        cum += w
+        uppers.append((name, _threshold(cum / total)))
+    return uppers, items[-1][0]

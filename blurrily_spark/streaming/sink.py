@@ -35,7 +35,11 @@ crash-atomic at every step: the base data is written before its marker
 (tmp + rename, the same atomic-publish move as batch commits), readers
 ignore a base without a marker, folded-batch cleanup is pure GC (reads
 already exclude ids <= the folded watermark), and a compaction retry
-overwrites the same next-generation path. Run ``compact()`` from a
+overwrites the same next-generation path. Superseded DATA files outlive
+the cut-over by a snapshot-retention window (``retain_data`` generations,
+default 1) so lazy readers planned pre-compaction still execute and
+:meth:`BatchSink.read_snapshot` can time-travel to a retained
+generation -- the Iceberg ``expireSnapshots`` model. Run ``compact()`` from a
 maintenance job or between triggers -- never concurrently with a writer
 whose batch group is only partially committed (a replay that must
 ``read(exclude=folded_id)`` fails loudly rather than double-counting).
@@ -136,6 +140,7 @@ class BatchSink:
         self.directory = directory.rstrip("/")
         self.committed_dir = f"{self.directory}/_committed"
         self.base_marker_dir = f"{self.directory}/_base"
+        self.expire_dir = f"{self.directory}/_expire"
 
     # -- commit protocol ---------------------------------------------------
 
@@ -326,6 +331,7 @@ class BatchSink:
         self,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         tag_seq: bool = False,
+        retain_data: int = 1,
     ) -> bool:
         """Fold the current base (if any) plus every committed batch into
         the next base generation; returns True if anything was folded.
@@ -351,12 +357,17 @@ class BatchSink:
         committed before it; the transform must drop ``_seq`` before
         returning. Callers must ensure no writer
         is mid-batch-group: see :meth:`read_paths` on the exclude guard.
-        GC also invalidates LAZY DataFrames planned against the
-        pre-compaction paths (an executing query that planned its scan
-        earlier can hit deleted files) -- readers that must survive a
-        concurrent compaction should re-plan via :meth:`read` per query,
-        as every reader in this repo does; a real table format solves
-        this with snapshot-retention windows.
+        **Snapshot retention** (``retain_data``, default 1): the marker
+        cut-over is immediate -- new reads take the new base -- but the
+        superseded DATA files (folded batch dirs, the previous base and
+        its marker) stay on disk until they are ``retain_data``
+        generations old, then are deleted by a later compaction (or an
+        explicit :meth:`expire_snapshots`). A LAZY DataFrame that planned
+        its scan before the cut-over therefore still executes against
+        live files, and :meth:`read_snapshot` can time-travel to a
+        retained generation -- the Iceberg ``expireSnapshots``
+        retention-window semantics. ``retain_data=0`` deletes at
+        cut-over (the pre-round-5 behavior).
         """
         gen, folded_through = self._base_state()
         batch_ids = [i for i in self.committed_ids() if i > folded_through]
@@ -407,18 +418,73 @@ class BatchSink:
                 "batch data is retained and the next compact() will retry"
             )
         # -- GC (pure cleanup; every read below already ignores these) ------
+        # Commit MARKERS go now -- the listing cut-over. DATA files of the
+        # superseded generation are either deleted now (retain_data=0) or
+        # recorded in an expiry manifest and deleted once retain_data
+        # newer generations exist, so in-flight readers keep live files.
         fs, _ = _hadoop_fs(self.spark, self.directory)
         for i in batch_ids:
             _, m = self._marker(i)
             fs.delete(m, False)
-            _, bp = _hadoop_fs(self.spark, self.batch_path(i))
-            fs.delete(bp, True)
+        superseded = [self.batch_path(i) for i in batch_ids]
         if gen is not None:
-            _, old_base = _hadoop_fs(self.spark, self.base_path(gen))
-            fs.delete(old_base, True)
-            _, old_marker = _hadoop_fs(self.spark, f"{self.base_marker_dir}/{gen}")
-            fs.delete(old_marker, False)
+            superseded += [self.base_path(gen), f"{self.base_marker_dir}/{gen}"]
+        if retain_data <= 0:
+            for p in superseded:
+                _, hp = _hadoop_fs(self.spark, p)
+                fs.delete(hp, True)
+            self.expire_snapshots(retain=0)
+        else:
+            if superseded:
+                publish_small_file(
+                    self.spark,
+                    f"{self.expire_dir}/{new_gen}",
+                    "\n".join(superseded).encode("utf-8"),
+                )
+            self.expire_snapshots(retain=retain_data)
         return True
+
+    def expire_snapshots(self, retain: int = 1) -> int:
+        """Delete the data files of superseded generations older than
+        ``retain`` generations (the maintenance face of the retention
+        window; Iceberg ``expireSnapshots``). Returns the number of
+        expired manifests. ``retain=0`` drops every retained snapshot --
+        callers must know no reader still holds a pre-compaction plan."""
+        fs, edir = _hadoop_fs(self.spark, self.expire_dir)
+        if not fs.exists(edir):
+            return 0
+        current_gen, _ = self._base_state()
+        if current_gen is None:
+            return 0
+        expired = 0
+        for status in fs.listStatus(edir):
+            name = status.getPath().getName()
+            if not name.isdigit() or current_gen - int(name) < retain:
+                continue
+            raw = read_small_file(self.spark, f"{self.expire_dir}/{name}")
+            for p in (raw or b"").decode("utf-8").splitlines():
+                if p:
+                    _, hp = _hadoop_fs(self.spark, p)
+                    fs.delete(hp, True)
+            fs.delete(status.getPath(), False)
+            expired += 1
+        return expired
+
+    def read_snapshot(self, gen: int) -> DataFrame:
+        """Time-travel: the sink's contents exactly as of base generation
+        ``gen``'s fold point. Available while the generation is inside
+        the retention window (see :meth:`compact`); expired or
+        never-compacted generations raise loudly."""
+        fs, bp = _hadoop_fs(self.spark, self.base_path(int(gen)))
+        raw = read_small_file(self.spark, f"{self.base_marker_dir}/{int(gen)}")
+        if raw is None or not fs.exists(bp):
+            raise FileNotFoundError(
+                f"snapshot generation {gen} of {self.directory!r} is not "
+                "available: it was never committed or its data files were "
+                "expired past the retention window (retain_data on "
+                "compact(), or expire_snapshots())"
+            )
+        return self.spark.read.parquet(self.base_path(int(gen)))
 
 
 def read_sink(spark: SparkSession, directory: str) -> DataFrame | None:
@@ -527,17 +593,22 @@ class MergeOnReadStore:
             return tagged.drop("_seq")
         return self._anti(tagged, tombs)
 
-    def compact(self) -> bool:
+    def compact(self, retain_data: int = 1) -> bool:
         """Fold data + applicable tombstone erasures into the next base
         generation (crash-safe via :meth:`BatchSink.compact`), then empty
-        the tombstone sidecar. Returns True if anything changed."""
+        the tombstone sidecar. ``retain_data`` is the snapshot-retention
+        window forwarded to both folds. Returns True if anything changed."""
         tombs = self.tombstones.read()
         if tombs is None:
-            return self.data.compact()
+            return self.data.compact(retain_data=retain_data)
         changed = self.data.compact(
-            transform=lambda df: self._anti(df, tombs), tag_seq=True
+            transform=lambda df: self._anti(df, tombs),
+            tag_seq=True,
+            retain_data=retain_data,
         )
         # sidecar fold runs strictly AFTER the data fold is marker-visible:
         # every folded tombstone's erasure is now baked into the base
-        self.tombstones.compact(transform=lambda df: df.limit(0))
+        self.tombstones.compact(
+            transform=lambda df: df.limit(0), retain_data=retain_data
+        )
         return True

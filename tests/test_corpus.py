@@ -129,3 +129,105 @@ def test_tfidf_window_group_limit_plan(spark):
     rows = [(i, f"w{i} common word") for i in range(20)]
     plan = tfidf_top_terms(_df(spark, rows), k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# -- deterministic sampling / splitting --------------------------------------
+
+from blurrily_spark.operators.corpus import (  # noqa: E402
+    _MINSTD,
+    _MINSTD_MOD,
+    sample_corpus,
+    split_corpus,
+    split_thresholds,
+)
+
+
+def _lcg_py(key: int, seed: int) -> int:
+    x = (key + seed) % _MINSTD_MOD
+    x = x * _MINSTD % _MINSTD_MOD
+    return x * _MINSTD % _MINSTD_MOD
+
+
+def _keyed(spark, n=4000):
+    return spark.range(n).selectExpr(
+        "id AS doc_id", "concat('src', CAST(id % 4 AS STRING)) AS source"
+    )
+
+
+def test_sample_corpus_matches_python_model_exactly(spark):
+    """The keep set is the EXACT pure-function set, not a statistical
+    approximation -- and therefore identical across engines and runs."""
+    df = _keyed(spark)
+    got = {r["doc_id"] for r in sample_corpus(df, 0.3, seed=9).collect()}
+    thr = int(0.3 * _MINSTD_MOD)
+    expected = {k for k in range(4000) if _lcg_py(k, 9) < thr}
+    assert got == expected
+    # unbiased enough at n=4000: rate within 2 points of the target
+    assert abs(len(got) / 4000 - 0.3) < 0.02
+    # a different seed draws a genuinely different (but same-rate) set
+    other = {r["doc_id"] for r in sample_corpus(df, 0.3, seed=10).collect()}
+    assert other != expected
+
+
+def test_sample_corpus_stratified_mixture(spark):
+    df = _keyed(spark)
+    mix = {"src0": 1.0, "src1": 0.5, "src2": 0.0}  # src3 absent -> dropped
+    rows = sample_corpus(df, by=mix, seed=3).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("src0", ())) == 1000  # fraction 1.0 keeps all
+    assert "src2" not in by_src and "src3" not in by_src
+    thr = int(0.5 * _MINSTD_MOD)
+    expected1 = {k for k in range(1, 4000, 4) if _lcg_py(k, 3) < thr}
+    assert by_src["src1"] == expected1
+
+
+def test_sample_corpus_validation(spark):
+    df = _keyed(spark, 4)
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_corpus(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_corpus(df, 0.5, by={"src0": 1.0})
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        sample_corpus(df, 1.5)
+    with pytest.raises(ValueError, match="at least one stratum"):
+        sample_corpus(df, by={})
+
+
+def test_split_corpus_is_an_exact_disjoint_partition(spark):
+    df = _keyed(spark)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = split_corpus(df, weights, seed=11).collect()
+    assert len(rows) == 4000  # exhaustive: every row labeled
+    uppers, remainder = split_thresholds(weights)
+    assert remainder == "test"
+
+    def expected_label(k: int) -> str:
+        u = _lcg_py(k, 11)
+        for name, upper in uppers:
+            if u < upper:
+                return name
+        return remainder
+
+    assert all(r["split"] == expected_label(r["doc_id"]) for r in rows)
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert abs(counts["train"] / 4000 - 0.8) < 0.02
+    assert abs(counts["val"] / 4000 - 0.1) < 0.01
+    # growth stability: the same keys keep their split in a larger corpus
+    bigger = split_corpus(_keyed(spark, 8000), weights, seed=11)
+    small = {r["doc_id"]: r["split"] for r in rows}
+    grown = {r["doc_id"]: r["split"] for r in bigger.collect() if r["doc_id"] < 4000}
+    assert grown == small
+
+
+def test_split_corpus_validation(spark):
+    df = _keyed(spark, 4)
+    with pytest.raises(ValueError, match="at least two"):
+        split_corpus(df, {"train": 1.0})
+    with pytest.raises(ValueError, match="non-negative"):
+        split_corpus(df, {"a": -1.0, "b": 2.0})
+    with pytest.raises(ValueError, match="positive sum"):
+        split_corpus(df, {"a": 0.0, "b": 0.0})
