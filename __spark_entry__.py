@@ -21,10 +21,19 @@ from pyspark.sql import functions as F
 from blurrily_spark.functions import oracle
 from blurrily_spark.functions.tokenizer import normalize
 from blurrily_spark.operators import corpus, dedup, similarity, textstats
-from blurrily_spark.operators.cluster import connected_components
+from blurrily_spark.operators.cluster import (
+    assign_entities,
+    connected_components,
+    golden_records,
+)
+from blurrily_spark.operators.events import session_stats, sessionize
 from blurrily_spark.operators.find import find
 from blurrily_spark.operators.index import build_postings, delete_refs, stats
-from blurrily_spark.operators.pairs import candidate_pairs, with_jaccard
+from blurrily_spark.operators.pairs import (
+    candidate_pairs,
+    sorted_neighborhood_pairs,
+    with_jaccard,
+)
 from blurrily_spark.operators.scoring import match_edges
 
 # Fixed query workload for FIND (typos over the documents vocabulary).
@@ -57,6 +66,9 @@ RP_BITS = 32
 RP_MAX_HAMMING = 6
 RP_SEED = 11
 LANGS = sorted(textstats.STOPWORDS)  # de, en, fr
+SNM_WINDOW = 4      # sorted-neighborhood: pair with the 3 sort successors
+SNM_KEYLEN = 12     # blocking key = first 12 chars of raw text
+SESSION_GAP_S = 28800  # sessionization gap (8h; median inter-event gap ~7.3h)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +273,26 @@ def q_tfidf_top_terms(spark, sf_dir):
     return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+# corpus-mixture spec for q_sample_stratified: four sources at distinct
+# rates, every other source dropped (the `by` map IS the mixture)
+SAMPLE_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+SAMPLE_SEED = 7
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 11
+
+
+def q_sample_stratified(spark, sf_dir):
+    # reproducible mixture downsampling: row fate is a pure function of
+    # (doc_id, seed) -- stable across engines, runs, and repartitioning
+    return corpus.sample_corpus(_docs(spark, sf_dir), by=SAMPLE_MIX, seed=SAMPLE_SEED)
+
+
+def q_split_corpus(spark, sf_dir):
+    return corpus.split_corpus(
+        _docs(spark, sf_dir), SPLIT_WEIGHTS, seed=SPLIT_SEED
+    ).select("doc_id", "source", "split")
+
+
 def q_scrub_pii(spark, sf_dir):
     # PII scrub; every 5th doc gets a deterministic URL+email+IP payload so
     # each pattern has true positives
@@ -458,6 +490,51 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    # second blocking family (SNM): global sort ranks computed WITHOUT a
+    # single-task window (range shuffle + offset arithmetic), then pair
+    # each record with its window-1 successors; oracle is the literal
+    # one-task row_number form
+    return sorted_neighborhood_pairs(
+        _docs(spark, sf_dir).withColumn("snm_key", F.substring("text", 1, SNM_KEYLEN)),
+        "snm_key",
+        id_col="doc_id",
+        window=SNM_WINDOW,
+    ).select(
+        F.col("ref_a").alias("id_a"), F.col("ref_b").alias("id_b"), "rank_gap"
+    )
+
+
+def q_golden_records(spark, sf_dir):
+    # ER survivorship over the resolved entities: longest text wins, ties
+    # to the lowest ref -- one join + one min(struct) aggregate, no window
+    d = _docs_subset(spark, sf_dir)
+    assign = assign_entities(d, q_match_edges(spark, sf_dir), node_col="doc_id")
+    return golden_records(d, assign, ref_col="doc_id")
+
+
+def q_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev, gap_seconds=SESSION_GAP_S).select(
+        "event_id", "user_id", "session_seq"
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return session_stats(ev, gap_seconds=SESSION_GAP_S).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "duration_s",
+        "sum_value",
+        "n_event_types",
+    )
+
+
 def q_events_window(spark, sf_dir):
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return events.groupBy(
@@ -543,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "ngram_contamination": q_ngram_contamination,
         "frequent_ngrams": q_frequent_ngrams,
+        "sample_stratified": q_sample_stratified,
+        "split_corpus": q_split_corpus,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
         "scrub_pii": q_scrub_pii,
@@ -556,6 +635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": q_cosine_near_dups,
         "rp_lsh_near_dups": q_rp_lsh_near_dups,
         "semantic_dedup": q_semantic_dedup,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "golden_records": q_golden_records,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
         "events_window_agg": q_events_window,
         "multimodal_features": q_multimodal,
     }
@@ -881,6 +964,29 @@ SELECT ref AS id, CAST(rank AS INT) AS rank, term,
        CAST(tf AS BIGINT) AS tf, CAST(df_term AS BIGINT) AS df_term, tfidf
 FROM ranked WHERE rank <= 3"""
 
+    # deterministic sampling/splitting: the SAME two-step MINSTD LCG and
+    # integer thresholds as operators/corpus.py (thresholds computed once
+    # in Python and embedded as literals in both engines)
+    m = corpus._MINSTD_MOD
+    lcg = (
+        f"((((doc_id + {{seed}}) % {m}) * {corpus._MINSTD} % {m})"
+        f" * {corpus._MINSTD} % {m})"
+    )
+    mix_case = " ".join(
+        f"WHEN '{src}' THEN {corpus._threshold(frac)}"
+        for src, frac in SAMPLE_MIX.items()
+    )
+    out["sample_stratified"] = f"""SELECT * FROM documents
+WHERE {lcg.format(seed=SAMPLE_SEED)} < CASE source {mix_case} ELSE 0 END"""
+
+    uppers, remainder = corpus.split_thresholds(SPLIT_WEIGHTS)
+    split_case = " ".join(f"WHEN u < {t} THEN '{name}'" for name, t in uppers)
+    out["split_corpus"] = f"""WITH u AS (
+  SELECT doc_id, source, {lcg.format(seed=SPLIT_SEED)} AS u FROM documents
+)
+SELECT doc_id, source, CASE {split_case} ELSE '{remainder}' END AS split
+FROM u"""
+
     out["token_count"] = """SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,
   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
@@ -1102,6 +1208,63 @@ SELECT v.vec_id AS id,
        CAST(coalesce(c.keep, v.vec_id) AS BIGINT) AS keep_id,
        CAST(CASE WHEN coalesce(c.keep, v.vec_id) <> v.vec_id THEN 1 ELSE 0 END AS INT) AS is_dup
 FROM vcorpus v LEFT JOIN comp c ON c.node = v.vec_id"""
+
+    out["sorted_neighborhood"] = f"""WITH r AS (
+  SELECT doc_id, substr(text, 1, {SNM_KEYLEN}) AS snm_key FROM documents
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY snm_key, doc_id) AS rnk FROM r)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(b.rnk - a.rnk AS INT) AS rank_gap
+FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk - a.rnk < {SNM_WINDOW}"""
+
+    # survivorship over resolved entities: reuse the CC oracle's recursive
+    # walk, left-join singletons to themselves, then elect per-entity
+    # survivors by (length DESC, ref ASC) -- the same total order the Spark
+    # min(struct(-len, ref, text)) aggregate encodes
+    cc_base = oracle.cc_sql(_SUBSET_SQL, "doc_id", "text", CC_THRESHOLD)
+    cc_head, cc_select = cc_base.rsplit("SELECT node AS ref", 1)
+    assert cc_select  # the CC oracle's final SELECT is the seam we extend
+    out["golden_records"] = f"""{cc_head.rstrip()},
+comp AS (
+  SELECT node AS ref, CAST(min(label) AS BIGINT) AS entity_id
+  FROM walk GROUP BY node
+),
+members AS (
+  SELECT coalesce(c.entity_id, d.doc_id) AS entity_id, d.doc_id AS ref, d.text
+  FROM {_SUBSET_SQL} d LEFT JOIN comp c ON c.ref = d.doc_id
+),
+ranked AS (
+  SELECT entity_id, ref, text,
+         row_number() OVER (PARTITION BY entity_id ORDER BY length(text) DESC, ref) AS rn,
+         count(*) OVER (PARTITION BY entity_id) AS n_members
+  FROM members
+)
+SELECT entity_id, n_members, ref AS canonical_ref,
+       CAST(length(text) AS INT) AS canonical_len, text AS canonical_text
+FROM ranked WHERE rn = 1"""
+
+    sess = f"""sess AS (
+  SELECT event_id, user_id, event_type, value, us, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         CAST(sum(new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS INT) AS session_seq
+  FROM (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new
+    FROM (SELECT event_id, user_id, event_type, value, ts, epoch_us(ts) AS us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+  )
+)"""
+    out["sessionize"] = f"""WITH {sess}
+SELECT event_id, user_id, session_seq FROM sess"""
+
+    out["session_stats"] = f"""WITH {sess}
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts_s) AS session_start,
+       max(ts_s) AS session_end,
+       (max(us) - min(us)) / 1000000.0 AS duration_s,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT event_type) AS n_event_types
+FROM sess GROUP BY 1, 2"""
 
     out["events_window_agg"] = """SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

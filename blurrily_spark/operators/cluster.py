@@ -179,3 +179,49 @@ def assign_entities(
     return n.join(comp, "ref", "left").select(
         "ref", F.coalesce("entity_id", "ref").alias("entity_id")
     )
+
+
+def golden_records(
+    records: DataFrame,
+    assignments: DataFrame,
+    ref_col: str = "ref",
+    text_col: str = "text",
+) -> DataFrame:
+    """Survivorship: one canonical ("golden") record per resolved entity.
+
+    The last stage of an entity-resolution pipeline (the reference stops at
+    FIND; merging the matched records is the caller's problem there --
+    README.md:9-13 positions blurrily as the search half of dedup). Given
+    the raw ``records`` and :func:`assign_entities` output, emits one row
+    per entity: member count plus the surviving record chosen by a
+    deterministic rule -- longest ``text_col`` wins, ties broken by lowest
+    ``ref`` -- so re-runs, engines, and cluster sizes all elect the same
+    survivor.
+
+    Scale shape: one equi-join on ref (both sides partitionable by the
+    same key) and ONE partial-aggregating ``min(struct(...))`` groupBy --
+    the struct's leading fields ``(-length, ref)`` order candidates
+    without a window function, so there is no per-entity sort and no
+    whole-partition materialization; entity-count rows come out of the
+    same aggregate. ``-length`` is a count negation (always safe), not an
+    id negation."""
+    members = records.select(
+        F.col(ref_col).cast("long").alias("ref"), F.col(text_col).alias("_text")
+    ).join(assignments, "ref")
+    agg = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(
+            F.struct(
+                (-F.length("_text")).alias("neg_len"),
+                F.col("ref").alias("ref"),
+                F.col("_text").alias("text"),
+            )
+        ).alias("_best"),
+    )
+    return agg.select(
+        "entity_id",
+        "n_members",
+        F.col("_best.ref").alias("canonical_ref"),
+        (-F.col("_best.neg_len")).cast("int").alias("canonical_len"),
+        F.col("_best.text").alias("canonical_text"),
+    )

@@ -121,3 +121,50 @@ def test_one_job_per_iteration(spark):
     # and the labels are still correct
     got = {r["ref"]: r["entity_id"] for r in labels.collect()}
     assert set(got.values()) == {0} and len(got) == 65
+
+
+def test_golden_records_survivorship(spark):
+    from blurrily_spark.operators.cluster import golden_records
+
+    records = spark.createDataFrame(
+        [
+            (1, "aaaa"),       # entity 1: len 4
+            (2, "bbbbbb"),     # entity 1: len 6 -> survivor
+            (3, "cccccc"),     # entity 1: len 6, higher ref -> loses tie to 2
+            (7, "dd"),         # singleton entity
+            (9, "eee"),        # entity 9: len 3 -> survivor (10 shorter)
+            (10, "ff"),
+        ],
+        "ref long, text string",
+    )
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "ref long, entity_id long",
+    )
+    got = {
+        r["entity_id"]: (
+            r["n_members"], r["canonical_ref"], r["canonical_len"], r["canonical_text"]
+        )
+        for r in golden_records(records, assignments).collect()
+    }
+    assert got == {
+        1: (3, 2, 6, "bbbbbb"),
+        7: (1, 7, 2, "dd"),
+        9: (2, 9, 3, "eee"),
+    }
+
+
+def test_golden_records_no_window(spark):
+    """Survivorship is one partial-aggregating min(struct) -- no Window
+    operator (per-entity sort) anywhere in the plan."""
+    from blurrily_spark.operators.cluster import golden_records
+
+    records = spark.range(100).selectExpr(
+        "id AS ref", "repeat('x', CAST(pmod(id, 7) AS INT) + 1) AS text"
+    )
+    assignments = spark.range(100).selectExpr("id AS ref", "pmod(id, 10) AS entity_id")
+    plan = (
+        golden_records(records, assignments)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan

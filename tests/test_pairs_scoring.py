@@ -194,3 +194,76 @@ def test_keys_only_candidates_match_full(spark):
     with pytest.raises(ValueError):
         candidate_pairs(p, min_matches=2, keys_only=True)
     p.unpersist()
+
+
+# -- sorted-neighborhood blocking ---------------------------------------------
+
+
+def _snm_oracle(rows, window):
+    """Single-process row_number oracle: rank by (key, id), pair within w."""
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = []
+    for i, (id_a, _) in enumerate(ranked):
+        for j in range(i + 1, min(i + window, len(ranked))):
+            out.append((id_a, ranked[j][0], j - i))
+    return sorted(out)
+
+
+def test_global_sort_ranks_exact_permutation(spark):
+    import random
+
+    from blurrily_spark.operators.pairs import global_sort_ranks
+
+    rng = random.Random(5)
+    rows = [(i, f"k{rng.randrange(40):02d}") for i in rng.sample(range(10_000), 300)]
+    df = spark.createDataFrame(rows, "ref long, key string")
+    # more partitions than rows in some ranges -> exercises empty partitions
+    got = global_sort_ranks(df, "key", "ref", num_partitions=7).collect()
+    expect = {
+        ref: i + 1
+        for i, (ref, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert {r["ref"]: r["rank"] for r in got} == expect
+
+
+def test_sorted_neighborhood_matches_oracle(spark):
+    import random
+
+    from blurrily_spark.operators.pairs import sorted_neighborhood_pairs
+
+    rng = random.Random(11)
+    rows = [(i, f"key{rng.randrange(25):02d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "ref long, key string")
+    for w in (2, 5):
+        got = sorted(
+            (r["ref_a"], r["ref_b"], r["rank_gap"])
+            for r in sorted_neighborhood_pairs(df, "key", window=w).collect()
+        )
+        assert got == _snm_oracle(rows, w)
+    # n * (w-1) - sum(1..w-1) pairs exactly
+    assert len(_snm_oracle(rows, 5)) == 200 * 4 - (1 + 2 + 3 + 4)
+
+
+def test_sorted_neighborhood_no_single_task_window(spark):
+    """The scaling point of the operator: the global rank must NOT plan an
+    unpartitioned window (Exchange SinglePartition = one-task sort of the
+    whole corpus). Range partitioning + offsets keeps every stage wide."""
+    from blurrily_spark.operators.pairs import sorted_neighborhood_pairs
+
+    df = spark.range(500).selectExpr("id AS ref", "format_string('k%03d', CAST(pmod(id, 50) AS INT)) AS key")
+    plan = (
+        sorted_neighborhood_pairs(df, "key", window=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_sorted_neighborhood_window_validation(spark):
+    import pytest as _pytest
+
+    from blurrily_spark.operators.pairs import sorted_neighborhood_pairs
+
+    df = spark.range(3).selectExpr("id AS ref", "CAST(id AS STRING) AS key")
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "key", window=1)

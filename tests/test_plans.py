@@ -54,6 +54,8 @@ NO_PYTHON_QUERIES = [
     "cut_duplicate_spans",
     "repetition_stats",
     "scrub_pii",
+    "sample_stratified",
+    "split_corpus",
 ]
 
 
@@ -102,6 +104,17 @@ def test_scrub_pii_is_one_scan_no_shuffle(spark):
     """scrub_pii is a single codegen'd projection: one scan, zero
     exchanges (nothing to shuffle -- per-row regex work only)."""
     plan = _plan(em.queries()["scrub_pii"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("name", ["sample_stratified", "split_corpus"])
+def test_sampling_is_one_scan_no_shuffle(spark, name):
+    """Deterministic sampling/splitting is a pure row-local decision:
+    one scan, zero exchanges -- the property that makes it free at any
+    corpus size (and independent of partitioning, which is also why the
+    result is reproducible)."""
+    plan = _plan(em.queries()[name](spark, SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "Exchange" not in plan
 
