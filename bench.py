@@ -37,6 +37,9 @@ Queries:
   q_ann_ivf        -- IVF ANN top-k (trained codebook; recall@5 vs brute
                       force reported as ann_recall_at5)
   q_events_window  -- hourly windowed aggregation over events
+  q_session_stats  -- gap-rule sessionization + per-session rollups
+  q_sorted_neighborhood -- SNM blocking pairs over documents (global
+                      ranks without a one-task window)
   q_linkage_pipeline -- full transcripts->entities linkage run on a seeded
                         synthetic transcripts corpus sized to the SF
                         (materialized once to /tmp and reused)
@@ -254,6 +257,14 @@ def main() -> None:
     timed("q_cosine_topk", lambda: em.q_cosine_topk(spark, SF_DIR).count())
     timed("q_rp_lsh_near_dups", lambda: em.q_rp_lsh_near_dups(spark, SF_DIR).count())
     timed("q_events_window", lambda: em.q_events_window(spark, SF_DIR).count())
+    # round 5: gap-rule sessionization (lag + running sum over one shuffle)
+    # and sorted-neighborhood blocking (global ranks via range partition +
+    # offsets, no one-task window) at SF scale
+    timed("q_session_stats", lambda: em.q_session_stats(spark, SF_DIR).count())
+    timed(
+        "q_sorted_neighborhood",
+        lambda: em.q_sorted_neighborhood(spark, SF_DIR).count(),
+    )
 
     # ANN: time the IVF query and report measured recall@5 vs brute force
     from blurrily_spark.operators import similarity

@@ -5,6 +5,7 @@ transcripts -> turns (normalize + entity refs)
             -> pairs (blocking self-join + jaccard)
             -> scores (weight-delta + Jaro-Winkler tie-break)
             -> edges (threshold) -> entities (connected components)
+            -> golden (optional survivorship: one canonical record/entity)
 
 Every stage is a pure DataFrame transformation whose output is a table
 (parquet here; Iceberg snapshots on a real cluster -- the reference's
@@ -35,7 +36,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from blurrily_spark.functions.tokenizer import add_trigrams, with_normalized
-from blurrily_spark.operators.cluster import assign_entities
+from blurrily_spark.operators.cluster import assign_entities, golden_records
 from blurrily_spark.operators.pairs import (
     candidate_pairs,
     hot_trigrams,
@@ -94,6 +95,7 @@ class LinkagePipeline:
     """Staged, resumable run of the full linkage dataflow."""
 
     STAGES = ("turns", "postings", "pairs", "scores", "edges", "entities")
+    # "golden" joins STAGES at runtime only when golden=True is configured
     AUTO_SALT_BUCKETS = 8  # bucket count used when salt_buckets="auto" fires
 
     def __init__(
@@ -106,6 +108,7 @@ class LinkagePipeline:
         salt_buckets: int | str | None = "auto",
         compute_jw: bool = True,
         jw_threshold: float | None = None,
+        golden: bool = False,
     ):
         # salt_buckets="auto" (the default): the pipeline self-protects
         # against trigram skew. It runs hot_trigrams() over the postings
@@ -127,6 +130,7 @@ class LinkagePipeline:
             "salt_buckets": salt_buckets,
             "compute_jw": compute_jw,
             "jw_threshold": jw_threshold,
+            "golden": golden,
         }
         self.metrics: dict[str, dict] = {}
         self._input_ident: dict | None = None
@@ -184,6 +188,24 @@ class LinkagePipeline:
         if not sb:
             return None, None
         b = self.AUTO_SALT_BUCKETS if sb == "auto" else int(sb)
+        max_df = self.config["max_df"]
+        if max_df:
+            # Two-phase blocking already caps every key's generation df at
+            # max_df: a "hot" trigram (df far above any sane max_df) never
+            # reaches the self-join, so salting has nothing to protect and
+            # hot_trigrams()'s full-postings aggregation pass would be pure
+            # waste (plus an always-empty second join branch in the plan).
+            # The capped join's per-key output is bounded at max_df^2 --
+            # skew-immune by construction.
+            self.metrics["pairs_salting"] = {
+                "buckets": b,
+                "hot_df_threshold": None,
+                "hot_key_count": 0,
+                "active": False,
+                "reason": f"max_df={max_df} caps per-key generation; "
+                "capped join is skew-immune",
+            }
+            return None, None
         hot, threshold = hot_trigrams(postings, b)
         self.metrics["pairs_salting"] = {
             "buckets": b,
@@ -271,6 +293,21 @@ class LinkagePipeline:
             ).select("ref", "conv_id", "turn_idx", "entity_id")
 
         entities = self._load_or("entities", _entities)
+
+        # Optional survivorship tail: one canonical turn per entity
+        # (longest normalized text, ties to lowest ref -- a deterministic
+        # election, so resumes and re-runs agree). Exposed as its own
+        # resumable stage because at scale the golden table is the
+        # published artifact; the per-turn assignment is lineage.
+        self.golden_df: DataFrame | None = None
+        if self.config["golden"]:
+            self.golden_df = self._load_or(
+                "golden",
+                lambda: golden_records(
+                    turns.select("ref", F.col("norm").alias("text")),
+                    entities.select("ref", "entity_id"),
+                ),
+            )
 
         manifest = {
             "config": self.config,

@@ -246,3 +246,57 @@ def test_pipeline_auto_salting_activates_on_skew_only(spark, tmp_path):
     a = sorted(map(tuple, candidate_pairs(postings, salt_buckets=8, hot_keys=hot).collect()))
     b = sorted(map(tuple, candidate_pairs(postings).collect()))
     assert a == b
+
+
+def test_pipeline_golden_stage(spark, tmp_path):
+    """golden=True appends a survivorship stage: exactly one canonical
+    record per entity, its ref a member of that entity, n_members summing
+    back to the turn count -- and the stage resumes like every other."""
+    from blurrily_spark.sources.synth import generate_transcripts
+
+    t = generate_transcripts(
+        spark, n_entities=6, variants_per_entity=3, turns_per_conv=3, seed=9
+    )
+    wd = str(tmp_path / "wd")
+    pipe = LinkagePipeline(
+        spark, wd, jaccard_threshold=0.5, min_matches=2, golden=True
+    )
+    entities = pipe.run(t)
+    golden = pipe.golden_df
+    assert golden is not None
+    g = golden.collect()
+    ents = entities.collect()
+    by_entity: dict[int, set[int]] = {}
+    for r in ents:
+        by_entity.setdefault(r["entity_id"], set()).add(r["ref"])
+    assert {r["entity_id"] for r in g} == set(by_entity)
+    assert sum(r["n_members"] for r in g) == len(ents)
+    for r in g:
+        assert r["canonical_ref"] in by_entity[r["entity_id"]]
+        assert r["canonical_len"] == len(r["canonical_text"])
+    # resume: a second run over the same workdir skips the golden stage
+    pipe2 = LinkagePipeline(
+        spark, wd, jaccard_threshold=0.5, min_matches=2, golden=True
+    )
+    pipe2.run(t)
+    assert pipe2.metrics["golden"]["skipped"]
+
+
+def test_capped_blocking_skips_salting_scan(spark, tmp_path, monkeypatch):
+    """With max_df two-phase blocking, no surviving key can be hot (its
+    generation df is capped), so the auto-salt decision must short-circuit
+    WITHOUT running hot_trigrams' full-postings aggregation -- and must say
+    why in the manifest."""
+    import blurrily_spark.plans.pipeline as pl
+
+    def _boom(*a, **k):  # the scan we must never pay in the capped path
+        raise AssertionError("hot_trigrams must not run when max_df is set")
+
+    monkeypatch.setattr(pl, "hot_trigrams", _boom)
+    t = _toy_transcripts(spark, 120, hot_docs=40)
+    pipe = LinkagePipeline(
+        spark, str(tmp_path / "wd"), min_matches=2, max_df=64, compute_jw=False
+    )
+    pipe.run(t)
+    m = pipe.metrics["pairs_salting"]
+    assert m["active"] is False and "max_df" in m["reason"]

@@ -635,3 +635,68 @@ def test_compaction_snapshot_retention(spark, tmp_path):
     _, base3 = _hadoop_fs(spark, sink.base_path(3))
     assert not fs.exists(base2) and not fs.exists(base3)
     assert sink.read().count() == 50  # all five 10-row batches survive
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Streaming gap-sessionization (EventTimeTimeout state eviction) must
+    emit, append-mode and exactly once, the SAME closed sessions the batch
+    operator computes over the full history -- the batch op is the oracle.
+    Sessions close via watermark timeouts, not by new events from the same
+    user: users 1/2 get no events after their last real one, so only the
+    watermark (advanced by user 3's sentinel events) can close them."""
+    import datetime as dt
+
+    from blurrily_spark.operators.events import session_stats
+    from blurrily_spark.streaming.sessions import stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec, val):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, "a", val, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # user 1: two sessions (gap 300 rule); user 2: one session spanning
+    # both input files; user 3 exists only to advance the watermark
+    batch1 = [ev(0, 1, 0, 1.0), ev(1, 1, 60, 2.0), ev(2, 2, 100, 5.0)]
+    batch2 = [ev(3, 1, 1000, 3.0), ev(4, 2, 350, 7.0)]
+    sentinels = [[ev(90, 3, 1_000_000, 0.0)], [ev(91, 3, 2_000_000, 0.0)]]
+
+    src = str(tmp_path / "events_in")
+    for i, rows in enumerate([batch1, batch2] + sentinels):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+
+    out = stream_sessionize(
+        spark, src, gap_seconds=300, watermark="10 seconds",
+        max_files_per_trigger=1,
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("closed_sessions").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["session_start"], r["session_end"],
+            r["duration_s"], r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+        if r["user_id"] != 3  # sentinel user's own session may stay open
+    }
+
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    expected = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["session_start"], r["session_end"],
+            r["duration_s"], r["sum_value"],
+        )
+        for r in session_stats(
+            all_events, gap_seconds=300
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) == 3  # user 1 x2 + user 2 x1, each exactly once
