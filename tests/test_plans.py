@@ -56,6 +56,10 @@ NO_PYTHON_QUERIES = [
     "scrub_pii",
     "sample_stratified",
     "split_corpus",
+    "sorted_neighborhood",
+    "golden_records",
+    "sessionize",
+    "session_stats",
 ]
 
 
