@@ -206,7 +206,11 @@ def golden_records(
     same aggregate. ``-length`` is a count negation (always safe), not an
     id negation."""
     members = records.select(
-        F.col(ref_col).cast("long").alias("ref"), F.col(text_col).alias("_text")
+        F.col(ref_col).cast("long").alias("ref"),
+        # null text would win a min(struct) election (nulls sort first);
+        # rank it as the empty string -- it loses to any non-empty record
+        # and an all-null entity still elects its lowest ref deterministically
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
     ).join(assignments, "ref")
     agg = members.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -168,3 +168,23 @@ def test_golden_records_no_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_golden_records_null_text_loses(spark):
+    """Null text must not win the min(struct) election (nulls sort first
+    in Spark struct ordering): it ranks as the empty string, so any
+    non-empty member survives instead."""
+    from blurrily_spark.operators.cluster import golden_records
+
+    recs = spark.createDataFrame(
+        [(1, None), (2, "bb"), (5, None), (6, None)], "ref long, text string"
+    )
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "ref long, entity_id long"
+    )
+    got = {
+        r["entity_id"]: (r["canonical_ref"], r["canonical_len"], r["canonical_text"])
+        for r in golden_records(recs, asg).collect()
+    }
+    assert got[1] == (2, 2, "bb")
+    assert got[5] == (5, 0, "")  # all-null entity: lowest ref, empty survivor
