@@ -172,9 +172,19 @@ def main() -> None:
     # every q_find_batch trial a COLD first read (fresh file listing +
     # footer decode of a just-written table) -- a measurement artifact,
     # not engine cost: in production the index is built once and served
-    # many times (round-4 verdict #2). One untimed priming read restores
-    # the steady-state read path q_find_batch means to measure.
-    timed("_warm_find_index", lambda: spark.table("bench_postings_bucketed").count())
+    # many times (round-4 verdict #2). The warm-up must be a real FIND,
+    # not a count(): parquet count-star is answered from row-group
+    # metadata and leaves the one-time-per-JVM serve-path costs unpaid
+    # (Python worker spawn for the Arrow normalize fallback, codegen,
+    # broadcast machinery -- measured ~5s once, ~0 on every later find
+    # even across index rebuilds). One untimed find restores the
+    # steady-state serve path q_find_batch means to measure.
+    timed(
+        "_warm_find_index",
+        lambda: find_op(
+            spark.table("bench_postings_bucketed"), em._queries_df(spark), limit=10
+        ).count(),
+    )
     # the table is created by q_index_build's first trial; resolve lazily
     timed(
         "q_find_batch",
