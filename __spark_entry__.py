@@ -273,6 +273,18 @@ def q_tfidf_top_terms(spark, sf_dir):
     return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_lm_score(spark, sf_dir):
+    # CCNet-style quality scoring with the corpus as its own LM (the
+    # standard self-perplexity pass); perplexity = exp(-avg_logp) is a
+    # monotone transform, so the compared projection carries avg_logp
+    # only -- exp() would amplify the engines' last-ulp log/summation
+    # differences past any fixed rounding.
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return corpus.lm_score(d, d).select(
+        "id", "n_tokens", "n_oov", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
 # corpus-mixture spec for q_sample_stratified: four sources at distinct
 # rates, every other source dropped (the `by` map IS the mixture)
 SAMPLE_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -623,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "lm_score": q_lm_score,
         "repetition_stats": q_repetition_stats,
         "scrub_pii": q_scrub_pii,
         "quality_score": q_quality,
@@ -963,6 +976,44 @@ ranked AS (
 SELECT ref AS id, CAST(rank AS INT) AS rank, term,
        CAST(tf AS BIGINT) AS tf, CAST(df_term AS BIGINT) AS df_term, tfidf
 FROM ranked WHERE rank <= 3"""
+
+    # add-k bigram LM self-scoring: identical token model (pos-0 unigram,
+    # bigram after), k = 1.0, counts from the same corpus
+    out["lm_score"] = f"""WITH {oracle.norm_cte('hay', 'documents', 'doc_id', 'text')},
+tw AS (SELECT ref, list_filter(string_split(norm, ' '), x -> x <> '') AS ws FROM hay_norm),
+tok AS (
+  SELECT w.ref, t.i - 1 AS pos, w.ws[t.i] AS w,
+         CASE WHEN t.i > 1 THEN w.ws[t.i - 1] END AS w_prev
+  FROM tw w,
+       LATERAL (SELECT unnest(generate_series(1, len(w.ws))) AS i) t
+),
+uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+stats AS (SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+big AS (SELECT w_prev, w, count(*) AS c2 FROM tok WHERE pos > 0 GROUP BY w_prev, w),
+scored AS (
+  SELECT d.ref,
+         CASE WHEN d.pos = 0 THEN coalesce(u.c1, 0) ELSE coalesce(b.c2, 0) END AS cnum,
+         CASE WHEN d.pos = 0
+              THEN ln((coalesce(u.c1, 0) + 1.0) / (s.n + s.v))
+              ELSE ln((coalesce(b.c2, 0) + 1.0) / (coalesce(up.c1, 0) + s.v)) END AS logp
+  FROM tok d
+  CROSS JOIN stats s
+  LEFT JOIN uni u ON u.w = d.w
+  LEFT JOIN uni up ON up.w = d.w_prev
+  LEFT JOIN big b ON b.w_prev = d.w_prev AND b.w = d.w
+),
+agg AS (
+  SELECT ref, count(*) AS n_tokens,
+         sum(CASE WHEN cnum = 0 THEN 1 ELSE 0 END) AS n_oov,
+         avg(logp) AS avg_logp
+  FROM scored GROUP BY ref
+),
+ids AS (SELECT DISTINCT ref FROM hay_norm)
+SELECT i.ref AS id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+       round(a.avg_logp, 6) AS avg_logp
+FROM ids i LEFT JOIN agg a ON a.ref = i.ref"""
 
     # deterministic sampling/splitting: the SAME two-step MINSTD LCG and
     # integer thresholds as operators/corpus.py (thresholds computed once

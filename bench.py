@@ -30,6 +30,8 @@ Queries:
   q_contamination  -- benchmark decontamination: 8-gram overlap of every
                       document against a leaked-subset holdout (fast hash
                       family)
+  q_lm_score       -- CCNet-style LM quality scoring: add-k bigram model
+                      trained on the corpus, per-doc mean log-prob + OOV
   q_semantic_dedup -- SemDeDup pass (cluster-assign -> within-cluster
                       cosine dup graph -> CC -> keeper) over the full
                       dup-injected embedding corpus; codebook untimed
@@ -263,6 +265,15 @@ def main() -> None:
         )
         .where("is_contaminated = 1")
         .count(),
+    )
+    # round 5: CCNet-style LM quality scoring, corpus as its own bigram
+    # model (token explode + 2 count aggs + 3 equi-joins); the avg forces
+    # the full scoring pass
+    timed(
+        "q_lm_score",
+        lambda: corpus_ops.lm_score(docs_only, docs_only)
+        .selectExpr("avg(avg_logp)")
+        .collect(),
     )
     timed("q_cosine_topk", lambda: em.q_cosine_topk(spark, SF_DIR).count())
     timed("q_rp_lsh_near_dups", lambda: em.q_rp_lsh_near_dups(spark, SF_DIR).count())

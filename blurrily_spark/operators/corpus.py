@@ -21,6 +21,10 @@ ext/blurrily/tokeniser.rl:52-60's normalize -> window pattern):
   frequencies are two equi-key aggregations; the per-document top-k is a
   rank window partitioned by document (WindowGroupLimit pushes the k cut
   below the sort).
+* :func:`lm_score` -- CCNet-style LM quality scoring: an add-k bigram
+  model trained corpus-side (two hash aggregations), per-document mean
+  token log-probability + OOV counts via three equi-joins of the doc
+  tokens against the count tables. No windows, no pairwise work.
 
 Scale shape: everything here is explode -> hash-aggregate -> equi-join;
 there is no pairwise work anywhere, so cost is linear in corpus token
@@ -315,3 +319,123 @@ def split_thresholds(weights: dict[str, float]) -> tuple[list[tuple[str, int]], 
         cum += w
         uppers.append((name, _threshold(cum / total)))
     return uppers, items[-1][0]
+
+
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, pos, w, w_prev)`` -- one row per whitespace token of the
+    normalized text, with the previous token carried along (NULL at
+    pos 0). The predecessor is attached at array-build time (one
+    ``transform`` over the word array), so there is no per-document
+    ``lag`` window and the only cost is the explode itself."""
+    d = _norm(df, text_col)
+    words = F.filter(F.split(F.col("_norm"), " "), lambda w: w != F.lit(""))
+    toks = F.when(
+        F.size(words) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words)),
+            lambda i: F.struct(
+                (i - 1).alias("pos"),
+                F.element_at(words, i).alias("w"),
+                F.when(i > 1, F.element_at(words, i - 1)).alias("w_prev"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w:string,w_prev:string>>"))
+    return d.select(
+        F.col(id_col).cast("long").alias("id"), F.explode(toks).alias("t")
+    ).select("id", "t.pos", "t.w", "t.w_prev")
+
+
+def lm_score(
+    train: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    2020, arXiv:1911.00359 -- there a KenLM 5-gram; here an add-k bigram
+    model, the engine-friendly member of the same family): train token
+    statistics on ``train``, score every ``docs`` row by mean token
+    log-probability. Low ``avg_logp`` (high perplexity) flags gibberish,
+    boilerplate, and OOV-dense text; training pipelines bucket or drop on
+    it alongside :func:`blurrily_spark.operators.textstats.quality_score`'s
+    surface heuristics.
+
+    Model: ``p(w_0) = (c1(w_0)+k) / (N+kV)`` and
+    ``p(w_i | w_{i-1}) = (c2(w_{i-1},w_i)+k) / (c1(w_{i-1})+kV)`` with
+    unigram counts ``c1``, bigram counts ``c2``, corpus token count ``N``
+    and vocabulary size ``V`` from ``train``; add-k smoothing keeps every
+    probability finite for OOV tokens.
+
+    Returns one row per ``docs`` row -- ``(id, n_tokens, n_oov,
+    avg_logp, perplexity)`` -- where ``n_oov`` counts tokens whose
+    numerator count is zero (unseen unigram at pos 0 / unseen bigram
+    after it) and empty documents surface with ``n_tokens = 0`` and NULL
+    scores rather than vanishing.
+
+    Scale shape: both corpora reduce to token-level explodes (cost linear
+    in token count, the same class as every textstats pass); the model is
+    two hash aggregations (``c1``, ``c2``) plus a one-row stats aggregate
+    that joins in via broadcast; scoring is three equi-joins of the doc
+    tokens against those count tables -- no windows, no pairwise work,
+    nothing driver-side. Zipf-hot words skew the count-table join keys;
+    at cluster scale AQE skew-join splitting covers it (the count side is
+    one row per key, so replication is free).
+    """
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    t_toks = _token_rows(train, id_col, text_col)
+    uni = t_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    stats = uni.agg(
+        F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    big = (
+        t_toks.where(F.col("pos") > 0)
+        .groupBy("w_prev", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    d_toks = _token_rows(docs, id_col, text_col)
+    kk = F.lit(float(k))
+    scored = (
+        d_toks.join(F.broadcast(stats))
+        .join(uni.select(F.col("w"), F.col("c1").alias("_cw")), "w", "left")
+        .join(
+            uni.select(F.col("w").alias("w_prev"), F.col("c1").alias("_cprev")),
+            "w_prev",
+            "left",
+        )
+        .join(big, ["w_prev", "w"], "left")
+        .select(
+            "id",
+            F.when(F.col("pos") == 0, F.coalesce("_cw", F.lit(0)))
+            .otherwise(F.coalesce("c2", F.lit(0)))
+            .alias("_cnum"),
+            F.when(
+                F.col("pos") == 0,
+                F.log(
+                    (F.coalesce("_cw", F.lit(0)) + kk)
+                    / (F.col("_n") + kk * F.col("_v"))
+                ),
+            )
+            .otherwise(
+                F.log(
+                    (F.coalesce("c2", F.lit(0)) + kk)
+                    / (F.coalesce("_cprev", F.lit(0)) + kk * F.col("_v"))
+                )
+            )
+            .alias("_logp"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("_cnum") == 0).cast("long")).alias("n_oov"),
+        F.avg("_logp").alias("avg_logp"),
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    return ids.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        "avg_logp",
+        F.exp(-F.col("avg_logp")).alias("perplexity"),
+    )

@@ -13,10 +13,16 @@ atomic-rename save, ext/blurrily/storage.c:371-374, maps to the table
 format's atomic commit). A stage writes its output dir plus a
 ``_blurrily_fingerprint.json`` of its config; re-running with the same
 fingerprint skips the stage (the reference's clean-path save memo,
-lib/blurrily/map.rb:25-30, generalized to every stage). Per-stage row
-counts and wall times are recorded in the run manifest -- the
-"per-partition lineage + metrics" of the north rule at the granularity
-the local sandbox supports.
+lib/blurrily/map.rb:25-30, generalized to every stage). The run manifest
+records, per stage: row count, wall seconds, and **per-partition lineage**
+-- one entry per output parquet file (= one write task / one partition of
+the stage's final plan) with its row count and bytes, read from the
+parquet footers. Together with ``input_identity`` (the per-file identity
+of the pipeline input) this chains input files -> stage -> output
+partitions across every stage. On a real cluster the same facts come from
+the table format's commit metadata (an Iceberg manifest entry carries
+record_count + file_size_in_bytes per data file); :func:`partition_lineage`
+is the local-parquet stand-in that reads footers instead.
 
 Ref assignment: ``ref = xxhash64(conv_id, turn_idx)`` -- deterministic,
 shuffle-free, and stable across runs/cluster sizes (a global row_number
@@ -44,6 +50,50 @@ from blurrily_spark.operators.pairs import (
     with_jaccard,
 )
 from blurrily_spark.operators.scoring import match_edges, score_pairs
+
+
+def partition_lineage(path: str, cap: int = 4096) -> dict:
+    """Per-partition lineage of one stage output: ``{n_files, rows,
+    truncated, files: [{file, bytes, rows}, ...]}`` with one entry per
+    parquet part file under ``path`` (relative paths, so hive-style
+    ``partition_by`` values stay visible in the name).
+
+    Row counts come from the parquet footer (``num_rows``) -- a driver-side
+    metadata read, no data pages touched, so this is O(files) small IO even
+    for a wide stage. ``cap`` bounds the per-file list so a huge stage
+    cannot bloat the run manifest; the aggregate ``n_files``/``rows`` always
+    cover every file and ``truncated`` records that the list was cut. On a
+    real cluster, read the same facts from the table format's commit
+    metadata instead of re-listing the directory (Iceberg manifests carry
+    ``record_count`` and ``file_size_in_bytes`` per data file).
+    """
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet"):
+                files.append(os.path.join(root, name))
+    files.sort()
+    entries = []
+    total_rows = 0
+    for full in files:
+        rows = pq.ParquetFile(full).metadata.num_rows
+        total_rows += rows
+        if len(entries) < cap:
+            entries.append(
+                {
+                    "file": os.path.relpath(full, path),
+                    "bytes": os.path.getsize(full),
+                    "rows": rows,
+                }
+            )
+    return {
+        "n_files": len(files),
+        "rows": total_rows,
+        "truncated": len(files) > cap,
+        "files": entries,
+    }
 
 
 def input_identity(df: DataFrame) -> dict:
@@ -176,6 +226,7 @@ class LinkagePipeline:
             "rows": obs.get["rows"],
             "seconds": round(time.time() - t0, 3),
             "skipped": False,
+            "partitions": partition_lineage(self._path(stage)),
         }
         with open(self._fp_file(stage), "w") as fh:
             fh.write(self._fingerprint(stage))
@@ -218,7 +269,15 @@ class LinkagePipeline:
     def _load_or(self, stage: str, build) -> DataFrame:
         if self._is_done(stage):
             out = self.spark.read.parquet(self._path(stage))
-            self.metrics[stage] = {"rows": None, "seconds": 0.0, "skipped": True}
+            # Footer metadata also gives a resumed stage its exact row
+            # count, so a resume manifest is as complete as a fresh run's.
+            lineage = partition_lineage(self._path(stage))
+            self.metrics[stage] = {
+                "rows": lineage["rows"],
+                "seconds": 0.0,
+                "skipped": True,
+                "partitions": lineage,
+            }
             return out
         return self._write(stage, build())
 

@@ -231,3 +231,68 @@ def test_split_corpus_validation(spark):
         split_corpus(df, {"a": -1.0, "b": 2.0})
     with pytest.raises(ValueError, match="positive sum"):
         split_corpus(df, {"a": 0.0, "b": 0.0})
+
+
+def _lm_python(train_texts, doc_rows, k=1.0):
+    """Reference add-k bigram LM: returns {id: (n_tokens, n_oov, avg_logp)}."""
+    c1, c2 = {}, {}
+    for t in train_texts:
+        ws = [w for w in normalize_py(t).split(" ") if w]
+        for i, w in enumerate(ws):
+            c1[w] = c1.get(w, 0) + 1
+            if i > 0:
+                c2[(ws[i - 1], w)] = c2.get((ws[i - 1], w), 0) + 1
+    n, v = sum(c1.values()), len(c1)
+    out = {}
+    for ref, t in doc_rows:
+        ws = [w for w in normalize_py(t).split(" ") if w]
+        if not ws:
+            out[ref] = (0, 0, None)
+            continue
+        logps, oov = [], 0
+        for i, w in enumerate(ws):
+            if i == 0:
+                cnum = c1.get(w, 0)
+                logps.append(math.log((cnum + k) / (n + k * v)))
+            else:
+                cnum = c2.get((ws[i - 1], w), 0)
+                logps.append(math.log((cnum + k) / (c1.get(ws[i - 1], 0) + k * v)))
+            oov += cnum == 0
+        out[ref] = (len(ws), oov, round(sum(logps) / len(logps), 6))
+    return out
+
+
+def test_lm_score_matches_python_model(spark):
+    from blurrily_spark.operators.corpus import lm_score
+
+    docs = TRAIN + [
+        (5, "zzzqq unseen gibberish tokens xkcd florp"),  # OOV-dense
+        (6, ""),  # empty -> n_tokens 0, NULL scores
+        (7, "the quick brown fox"),  # fluent in-model prefix
+    ]
+    exp = _lm_python([t for _, t in TRAIN], docs)
+    got = {
+        r["id"]: (
+            r["n_tokens"],
+            r["n_oov"],
+            None if r["avg_logp"] is None else round(r["avg_logp"], 6),
+        )
+        for r in lm_score(_df(spark, TRAIN), _df(spark, docs)).collect()
+    }
+    assert got == exp
+    # sanity on the signal itself: fluent text scores above gibberish
+    assert exp[7][2] > exp[5][2]
+    # and perplexity is the documented monotone transform
+    row = {
+        r["id"]: r
+        for r in lm_score(_df(spark, TRAIN), _df(spark, docs)).collect()
+    }
+    assert row[7]["perplexity"] == pytest.approx(math.exp(-row[7]["avg_logp"]))
+    assert row[6]["perplexity"] is None
+
+
+def test_lm_score_validation(spark):
+    from blurrily_spark.operators.corpus import lm_score
+
+    with pytest.raises(ValueError, match="smoothing k"):
+        lm_score(_df(spark, TRAIN), _df(spark, TRAIN), k=0.0)

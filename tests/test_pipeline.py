@@ -76,6 +76,19 @@ def test_pipeline_end_to_end(spark, tmp_path):
         if k in LinkagePipeline.STAGES
     )
 
+    # --- per-partition lineage: every stage lists its output files with
+    # footer-derived row counts that reconcile exactly with the observed
+    # stage row count (north rule: per-partition lineage + metrics)
+    for k in LinkagePipeline.STAGES:
+        s = manifest["stages"][k]
+        lin = s["partitions"]
+        assert lin["n_files"] >= 1 and not lin["truncated"]
+        assert len(lin["files"]) == lin["n_files"]
+        assert sum(f["rows"] for f in lin["files"]) == lin["rows"] == s["rows"]
+        assert all(
+            f["file"].endswith(".parquet") and f["bytes"] > 0 for f in lin["files"]
+        )
+
 
 def test_pipeline_resume_skips_stages(spark, tmp_path):
     transcripts = generate_transcripts(
@@ -90,6 +103,14 @@ def test_pipeline_resume_skips_stages(spark, tmp_path):
         s["skipped"] for k, s in pipe2.metrics.items() if k in LinkagePipeline.STAGES
     )
     assert out1 == out2
+
+    # resumed stages still carry exact rows + per-partition lineage (from
+    # the parquet footers), so a resume manifest is as complete as a fresh
+    # run's -- and both runs agree on them
+    for k in LinkagePipeline.STAGES:
+        fresh, resumed = pipe1.metrics[k], pipe2.metrics[k]
+        assert resumed["rows"] == fresh["rows"]
+        assert resumed["partitions"] == fresh["partitions"]
 
     # changed config -> fingerprint mismatch -> stages rerun
     pipe3 = LinkagePipeline(spark, str(tmp_path), jaccard_threshold=0.9)
