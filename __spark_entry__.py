@@ -273,6 +273,57 @@ def q_tfidf_top_terms(spark, sf_dir):
     return corpus.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_phonetic_keys(spark, sf_dir):
+    # Soundex-class key of each document's first word -- the classic
+    # record-linkage name block, same key expression in both engines
+    # (functions/phonetic.py is the single source of truth)
+    from blurrily_spark.functions.phonetic import phonetic_key
+
+    d = _docs(spark, sf_dir).withColumn("_norm", normalize(F.col("text")))
+    name = F.element_at(F.split(F.col("_norm"), " "), 1)
+    return d.select(
+        F.col("doc_id").cast("long").alias("id"),
+        name.alias("name"),
+        phonetic_key(name).alias("pkey"),
+    )
+
+
+def q_phonetic_pairs(spark, sf_dir):
+    # phonetic blocking with the oversized-block guardrail active (first
+    # words of prose are Zipf-hot; blocks past max_block carry no signal)
+    from blurrily_spark.operators.pairs import phonetic_pairs
+
+    d = _docs(spark, sf_dir).withColumn("_norm", normalize(F.col("text")))
+    named = d.select(
+        "doc_id", F.element_at(F.split(F.col("_norm"), " "), 1).alias("name")
+    )
+    return phonetic_pairs(named, "name", id_col="doc_id", max_block=50)
+
+
+def q_token_sort_score(spark, sf_dir):
+    # fuzzywuzzy-style token_sort_ratio over each doc and its truncated
+    # near-dup; texts clipped to 200 normalized chars so the O(n*m)
+    # levenshtein stays bounded per pair in BOTH engines
+    from blurrily_spark.operators.scoring import token_sort_ratio
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring(normalize(F.col("text")), 1, 200).alias("_na"),
+    )
+    b = _truncated_dups(base).select(
+        (F.col("doc_id") - DUP_OFFSET).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.substring(normalize(F.col("text")), 1, 200).alias("_nb"),
+    )
+    return a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        F.levenshtein("_na", "_nb").alias("lev"),
+        F.round(token_sort_ratio(F.col("_na"), F.col("_nb")), 6).alias("ratio"),
+    )
+
+
 def q_lm_score(spark, sf_dir):
     # CCNet-style quality scoring with the corpus as its own LM (the
     # standard self-perplexity pass); perplexity = exp(-avg_logp) is a
@@ -636,6 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": q_split_corpus,
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_score": q_lm_score,
+        "phonetic_keys": q_phonetic_keys,
+        "phonetic_pairs": q_phonetic_pairs,
+        "token_sort_score": q_token_sort_score,
         "repetition_stats": q_repetition_stats,
         "scrub_pii": q_scrub_pii,
         "quality_score": q_quality,
@@ -1014,6 +1068,44 @@ SELECT i.ref AS id,
        CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
        round(a.avg_logp, 6) AS avg_logp
 FROM ids i LEFT JOIN agg a ON a.ref = i.ref"""
+
+    # phonetic blocking: the key fragment is generated by the SAME code
+    # that builds the Spark expression (functions/phonetic.py)
+    from blurrily_spark.functions.phonetic import phonetic_key_sql
+
+    out["phonetic_keys"] = f"""WITH {oracle.norm_cte('hay', 'documents', 'doc_id', 'text')},
+named AS (SELECT ref, string_split(norm, ' ')[1] AS name FROM hay_norm)
+SELECT CAST(ref AS BIGINT) AS id, name, {phonetic_key_sql('name')} AS pkey
+FROM named"""
+
+    out["phonetic_pairs"] = f"""WITH {oracle.norm_cte('hay', 'documents', 'doc_id', 'text')},
+named AS (SELECT ref, string_split(norm, ' ')[1] AS name FROM hay_norm),
+keyed AS (SELECT ref, {phonetic_key_sql('name')} AS pkey FROM named),
+kk AS (SELECT ref, pkey FROM keyed WHERE pkey IS NOT NULL),
+ok AS (SELECT pkey FROM kk GROUP BY pkey HAVING count(*) <= 50)
+SELECT CAST(a.ref AS BIGINT) AS ref_a, CAST(b.ref AS BIGINT) AS ref_b, a.pkey
+FROM kk a JOIN ok USING (pkey) JOIN kk b ON b.pkey = a.pkey AND a.ref < b.ref"""
+
+    # token_sort_ratio: same clip, same sort, both engines' builtin
+    # integer levenshtein
+    ts_dups = f"""(SELECT doc_id + {DUP_OFFSET} AS doc_id,
+        substr(text, 1, CAST(floor(length(text) * 0.9) AS INT)) AS text
+ FROM documents)"""
+    out["token_sort_score"] = f"""WITH {oracle.norm_cte('ba', 'documents', 'doc_id', 'text')},
+{oracle.norm_cte('du', ts_dups, 'doc_id', 'text')},
+a AS (SELECT ref AS id_a, substr(norm, 1, 200) AS na FROM ba_norm),
+b AS (SELECT ref - {DUP_OFFSET} AS id_a, ref AS id_b, substr(norm, 1, 200) AS nb
+      FROM du_norm),
+j AS (SELECT a.id_a, b.id_b, levenshtein(na, nb) AS lev,
+        array_to_string(list_sort(list_filter(string_split(na, ' '), x -> x <> '')), ' ') AS sa,
+        array_to_string(list_sort(list_filter(string_split(nb, ' '), x -> x <> '')), ' ') AS sb
+      FROM a JOIN b USING (id_a))
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(lev AS INTEGER) AS lev,
+       round(CASE WHEN greatest(length(sa), length(sb)) = 0 THEN 1.0
+                  ELSE 1.0 - levenshtein(sa, sb) / greatest(length(sa), length(sb))
+             END, 6) AS ratio
+FROM j"""
 
     # deterministic sampling/splitting: the SAME two-step MINSTD LCG and
     # integer thresholds as operators/corpus.py (thresholds computed once

@@ -334,3 +334,47 @@ def sorted_neighborhood_pairs(
         "ref_b",
         (F.col("rank") - F.col("rank_a")).cast("int").alias("rank_gap"),
     )
+
+
+def phonetic_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str = "ref",
+    max_block: int | None = None,
+) -> DataFrame:
+    """Phonetic blocking: candidate pairs of records whose ``name_col``
+    shares a Soundex-class key (functions/phonetic.py) -- the classic
+    record-linkage first block, catching spelling variants ("Smith" /
+    "Smyth" -> S530) that trigram blocking also finds but at higher pair
+    cost. Returns ``(ref_a, ref_b, pkey)`` with ``ref_a < ref_b``;
+    letter-free / NULL names produce no key and join nothing.
+
+    Scale shape: one equi-self-join on the key, same class as
+    :func:`candidate_pairs`. Phonetic keys are FEW (max 26 * 7^3 distinct)
+    and Zipf-hot (S530-class names), so a raw self-join is quadratic in
+    the hottest block; ``max_block`` is the same guardrail as
+    candidate_pairs' ``max_df`` -- blocks with more than ``max_block``
+    members are dropped from pair generation entirely (a block that large
+    carries no discriminating signal; recover its true matches from the
+    other blocking passes, exactly the two-phase argument in
+    plans/pipeline.py). The count rides one group-by of the keyed
+    projection -- no second scan of ``df``.
+    """
+    from blurrily_spark.functions.phonetic import phonetic_key
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("_ref"),
+        phonetic_key(F.col(name_col)).alias("pkey"),
+    ).where(F.col("pkey").isNotNull())
+    if max_block is not None:
+        if max_block < 2:
+            raise ValueError(f"max_block must be >= 2, got {max_block}")
+        sizes = keyed.groupBy("pkey").agg(F.count(F.lit(1)).alias("_n"))
+        keyed = keyed.join(
+            sizes.where(F.col("_n") <= max_block).select("pkey"), "pkey"
+        )
+    a = keyed.select(F.col("_ref").alias("ref_a"), "pkey")
+    b = keyed.select(F.col("_ref").alias("ref_b"), "pkey")
+    return a.join(b, "pkey").where(F.col("ref_a") < F.col("ref_b")).select(
+        "ref_a", "ref_b", "pkey"
+    )

@@ -135,3 +135,30 @@ def match_edges(
     if jw_threshold is not None:
         out = out.where(F.col("jw") >= jw_threshold)
     return out.select(F.col("ref_a").alias("src"), F.col("ref_b").alias("dst"))
+
+
+def token_sort_key(col):
+    """Word-order-insensitive canonical form: whitespace tokens sorted and
+    re-joined (fuzzywuzzy's token_sort transform). Input should already be
+    normalized ([a-z ]); pure JVM array ops, no UDF."""
+    return F.concat_ws(
+        " ", F.sort_array(F.filter(F.split(col, " "), lambda w: w != F.lit("")))
+    )
+
+
+def token_sort_ratio(a, b):
+    """Token-sort similarity ratio in [0, 1]:
+    ``1 - levenshtein(sort(a), sort(b)) / max(len)`` -- fuzzywuzzy's
+    token_sort_ratio re-expressed on the JVM (both engines' builtin
+    ``levenshtein`` is the standard integer edit distance, so the score
+    is exactly reproducible in SQL). Word-order swaps ("john smith" vs
+    "smith john") score 1.0 where raw edit distance would not; two empty
+    strings score 1.0. A tie-break refinement like Jaro-Winkler in
+    :func:`score_pairs`: at scale, compute it only on pairs that already
+    passed the cheap set-similarity threshold, never on the raw candidate
+    set."""
+    sa, sb = token_sort_key(a), token_sort_key(b)
+    mx = F.greatest(F.length(sa), F.length(sb))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(sa, sb) / mx
+    )

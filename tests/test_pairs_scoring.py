@@ -267,3 +267,131 @@ def test_sorted_neighborhood_window_validation(spark):
     df = spark.range(3).selectExpr("id AS ref", "CAST(id AS STRING) AS key")
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "key", window=1)
+
+
+# --- phonetic blocking ------------------------------------------------------
+
+SOUNDEX_GOLDENS = {
+    # classic archival values our variant reproduces
+    "Pfister": "P236",   # adjacent-equal first-letter code consumed
+    "Robert": "R163",
+    "Rupert": "R163",
+    "Tymczak": "T522",
+    "Smith": "S530",
+    "Smyth": "S530",
+    "Honeyman": "H555",
+    "jackson": "J250",
+    # documented divergence: h/w do not merge surrounding equal codes
+    "Ashcraft": "A226",  # archival soundex says A261
+    # edge shapes
+    "a": "A000",
+    "  O'Brien!! ": "O165",
+    "42": None,
+    "": None,
+    None: None,
+}
+
+
+def test_phonetic_key_goldens_all_three_impls(spark):
+    from blurrily_spark.functions.phonetic import (
+        phonetic_key,
+        phonetic_key_py,
+        phonetic_key_sql,
+    )
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(SOUNDEX_GOLDENS)]
+    got_spark = {
+        r["i"]: r["k"]
+        for r in spark.createDataFrame(rows, "i int, t string")
+        .select("i", phonetic_key(F.col("t")).alias("k"))
+        .collect()
+    }
+    con = duckdb.connect()
+    got_sql = {}
+    for i, t in rows:
+        (k,) = con.execute(
+            f"SELECT {phonetic_key_sql('t')} FROM (SELECT ?::VARCHAR AS t)",
+            [t],
+        ).fetchone()
+        got_sql[i] = k
+    for i, t in rows:
+        exp = SOUNDEX_GOLDENS[t]
+        assert got_spark[i] == exp, f"spark {t!r}: {got_spark[i]} != {exp}"
+        assert got_sql[i] == exp, f"sql {t!r}: {got_sql[i]} != {exp}"
+        assert phonetic_key_py(t) == exp, f"py {t!r}"
+
+
+def test_phonetic_pairs_blocks_and_guardrail(spark):
+    from blurrily_spark.operators.pairs import phonetic_pairs
+
+    import pytest as _pytest
+
+    rows = [
+        (1, "smith"), (2, "smyth"), (3, "smithe"),   # S530 block of 3
+        (4, "robert"), (5, "rupert"),                # R163 block of 2
+        (6, "unique"),                               # singleton -> no pair
+        (7, "123"),                                  # keyless -> dropped
+    ]
+    df = spark.createDataFrame(rows, "ref long, name string")
+    got = {
+        (r["ref_a"], r["ref_b"]): r["pkey"]
+        for r in phonetic_pairs(df, "name").collect()
+    }
+    assert got == {
+        (1, 2): "S530", (1, 3): "S530", (2, 3): "S530", (4, 5): "R163",
+    }
+    # max_block=2 drops the 3-member S530 block entirely, keeps R163
+    capped = {
+        (r["ref_a"], r["ref_b"])
+        for r in phonetic_pairs(df, "name", max_block=2).collect()
+    }
+    assert capped == {(4, 5)}
+    with _pytest.raises(ValueError, match="max_block"):
+        phonetic_pairs(df, "name", max_block=1)
+
+
+# --- token-sort ratio -------------------------------------------------------
+
+def _lev_py(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _tsr_py(a: str, b: str) -> float:
+    sa = " ".join(sorted(w for w in a.split(" ") if w))
+    sb = " ".join(sorted(w for w in b.split(" ") if w))
+    mx = max(len(sa), len(sb))
+    return 1.0 if mx == 0 else 1.0 - _lev_py(sa, sb) / mx
+
+
+def test_token_sort_ratio_matches_python_model(spark):
+    from pyspark.sql import functions as F
+
+    from blurrily_spark.operators.scoring import token_sort_ratio
+
+    cases = [
+        ("john smith", "smith john"),        # pure word swap -> 1.0
+        ("john smith", "jon smith"),
+        ("the quick brown fox", "quick the brown fax"),
+        ("", ""),                            # both empty -> 1.0
+        ("abc", ""),
+        ("a b a", "a a b"),
+    ]
+    rows = [(i, a, b) for i, (a, b) in enumerate(cases)]
+    got = {
+        r["i"]: r["ratio"]
+        for r in spark.createDataFrame(rows, "i int, a string, b string")
+        .select("i", token_sort_ratio(F.col("a"), F.col("b")).alias("ratio"))
+        .collect()
+    }
+    for i, (a, b) in enumerate(cases):
+        assert abs(got[i] - _tsr_py(a, b)) < 1e-12, (a, b)
+    assert got[0] == 1.0 and got[3] == 1.0
