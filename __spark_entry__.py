@@ -28,6 +28,8 @@ from blurrily_spark.operators.cluster import (
 )
 from blurrily_spark.operators.events import session_stats, sessionize
 from blurrily_spark.operators.find import find
+from blurrily_spark.operators.linkage import FieldModel, estimate_m_u, fs_score
+from blurrily_spark.quality import cluster_metrics
 from blurrily_spark.operators.index import build_postings, delete_refs, stats
 from blurrily_spark.operators.pairs import (
     candidate_pairs,
@@ -67,6 +69,16 @@ RP_MAX_HAMMING = 6
 RP_SEED = 11
 LANGS = sorted(textstats.STOPWORDS)  # de, en, fr
 SNM_WINDOW = 4      # sorted-neighborhood: pair with the 3 sort successors
+# Fellegi-Sunter model over the pairs workload: per-(field, level) m/u
+# probabilities; the log2 weights are derived ONCE in Python and embedded
+# as identical double literals in the Spark plan and the DuckDB oracle.
+FS_JACC = FieldModel("jacc", "jacc_level", m=(0.05, 0.20, 0.75), u=(0.85, 0.12, 0.03))
+FS_LANG = FieldModel("lang", "lang_level", m=(0.10, 0.90), u=(0.60, 0.40))
+FS_SOURCE = FieldModel("source", "source_level", m=(0.15, 0.85), u=(0.70, 0.30))
+FS_PRIOR = 0.05
+FS_MATCHES_MIN = 10   # matches_level threshold for m/u estimation
+INCR_STRONG_J = 0.7   # incremental CC: history edges at >= 0.7, delta 0.6..0.7
+METRIC_SCALE = 10**9  # cluster_metrics scaled-integer B-cubed arithmetic
 SNM_KEYLEN = 12     # blocking key = first 12 chars of raw text
 SESSION_GAP_S = 28800  # sessionization gap (8h; median inter-event gap ~7.3h)
 
@@ -576,6 +588,107 @@ def q_golden_records(spark, sf_dir):
     return golden_records(d, assign, ref_col="doc_id")
 
 
+def _fs_levels(spark, sf_dir):
+    """Candidate pairs with per-field agreement levels (shared input for
+    the FS scoring query): trigram-jaccard band + lang/source equality."""
+    docs = _docs_subset(spark, sf_dir).select("doc_id", "lang", "source")
+    p = _postings(spark, sf_dir, subset=True).cache()
+    pairs = with_jaccard(candidate_pairs(p), p)
+    a = docs.select(
+        F.col("doc_id").alias("ref_a"), F.col("lang").alias("_la"), F.col("source").alias("_sa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("ref_b"), F.col("lang").alias("_lb"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(a, "ref_a")
+        .join(b, "ref_b")
+        .select(
+            "ref_a",
+            "ref_b",
+            F.when(F.col("jaccard") >= 0.8, 2)
+            .when(F.col("jaccard") >= 0.4, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("jacc_level"),
+            (F.col("_la") == F.col("_lb")).cast("int").alias("lang_level"),
+            (F.col("_sa") == F.col("_sb")).cast("int").alias("source_level"),
+        )
+    )
+
+
+def q_fs_match_weights(spark, sf_dir):
+    # Fellegi-Sunter probabilistic linkage: per-field agreement levels ->
+    # log2 Bayes-factor match weight + posterior, all literal arithmetic
+    # (a single codegen'd projection over the candidate pairs)
+    out = fs_score(_fs_levels(spark, sf_dir), [FS_JACC, FS_LANG, FS_SOURCE], prior=FS_PRIOR)
+    return out.select(
+        "ref_a",
+        "ref_b",
+        "jacc_level",
+        "lang_level",
+        "source_level",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
+def q_fs_estimate_mu(spark, sf_dir):
+    # supervised m/u estimation from labeled pairs (the dup corpus gives
+    # ground truth: same base doc <=> match); one tagged explode + one
+    # groupBy however many fields there are
+    p = build_postings(
+        _docs_with_dups(spark, sf_dir), text_col="text", ref_col="doc_id", weight_col=None
+    ).cache()
+    pairs = with_jaccard(candidate_pairs(p), p)
+    lab = pairs.select(
+        F.when(F.col("jaccard") >= 0.8, 2)
+        .when(F.col("jaccard") >= 0.4, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("jacc_level"),
+        (F.col("matches") >= FS_MATCHES_MIN).cast("int").alias("matches_level"),
+        ((F.col("ref_a") % DUP_OFFSET) == (F.col("ref_b") % DUP_OFFSET))
+        .cast("int")
+        .alias("is_match"),
+    )
+    out = estimate_m_u(lab, ["jacc_level", "matches_level"], smoothing=0.5, n_levels=3)
+    return out.select(
+        "field", "level", F.round("m", 6).alias("m"), F.round("u", 6).alias("u")
+    )
+
+
+def q_cluster_metrics(spark, sf_dir):
+    # the evaluation half of ER: near-dedup clusters scored against the
+    # planted truth (base doc id) -- pairwise P/R/F1 + B-cubed, one row,
+    # everything reduced over the contingency table (no pair materialized)
+    nd = dedup.near_dedup(_docs_with_dups(spark, sf_dir), threshold=NEARDUP_EST_J)
+    assign = nd.select(
+        F.col("id").alias("ref"),
+        F.col("keep_id").alias("entity_id"),
+        (F.col("id") % DUP_OFFSET).alias("entity_true"),
+    )
+    return cluster_metrics(assign, exact_scale=METRIC_SCALE)
+
+
+def q_incremental_entities(spark, sf_dir):
+    # delta folding: entities from strong edges (j >= 0.7) updated with the
+    # 0.6..0.7 band only -- result provably equals full CC at 0.6 (the
+    # oracle IS the full-recompute SQL)
+    from blurrily_spark.operators.cluster import incremental_entities
+
+    p = _postings(spark, sf_dir, subset=True).cache()
+    scored = with_jaccard(candidate_pairs(p), p).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+    strong = match_edges(scored, jaccard_threshold=INCR_STRONG_J)
+    weak = scored.where(
+        (F.col("jaccard") >= CC_THRESHOLD) & (F.col("jaccard") < INCR_STRONG_J)
+    ).select(F.col("ref_a").alias("src"), F.col("ref_b").alias("dst"))
+    prev = connected_components(strong)
+    return incremental_entities(prev, weak)
+
+
 def q_sessionize(spark, sf_dir):
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return sessionize(ev, gap_seconds=SESSION_GAP_S).select(
@@ -704,6 +817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "golden_records": q_golden_records,
+        "fs_match_weights": q_fs_match_weights,
+        "fs_estimate_mu": q_fs_estimate_mu,
+        "cluster_metrics": q_cluster_metrics,
+        "incremental_entities": q_incremental_entities,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "events_window_agg": q_events_window,
@@ -1384,6 +1501,130 @@ ranked AS (
 SELECT entity_id, n_members, ref AS canonical_ref,
        CAST(length(text) AS INT) AS canonical_len, text AS canonical_text
 FROM ranked WHERE rn = 1"""
+
+    # --- Fellegi-Sunter: per-level weights are the SAME Python floats the
+    # Spark plan embeds (repr round-trips doubles exactly), so no
+    # transcendental function executes in either engine
+    def _fs_case(col: str, vals) -> str:
+        # CAST keeps DuckDB in double arithmetic (a bare decimal literal
+        # parses as DECIMAL there, where Spark's lit() is a double)
+        whens = " ".join(
+            f"WHEN {i} THEN CAST({float(v)!r} AS DOUBLE)" for i, v in enumerate(vals)
+        )
+        return f"CASE {col} {whens} END"
+
+    fs_fields = [FS_JACC, FS_LANG, FS_SOURCE]
+    fs_w = " + ".join(_fs_case(f.level_col, f.log2_weights()) for f in fs_fields)
+    fs_bm = " * ".join(
+        [f"CAST({float(FS_PRIOR)!r} AS DOUBLE)"]
+        + [_fs_case(f.level_col, f.m) for f in fs_fields]
+    )
+    fs_bu = " * ".join(
+        [f"CAST({float(1.0 - FS_PRIOR)!r} AS DOUBLE)"]
+        + [_fs_case(f.level_col, f.u) for f in fs_fields]
+    )
+    out["fs_match_weights"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')},
+jr AS (
+  SELECT ref_a, ref_b,
+         matches / CAST(ta.n_tg + tb.n_tg - matches AS DOUBLE) AS jaccard
+  FROM rawpairs JOIN tc ta ON ta.ref = ref_a JOIN tc tb ON tb.ref = ref_b
+),
+lev AS (
+  SELECT ref_a, ref_b,
+         CASE WHEN jaccard >= 0.8 THEN 2 WHEN jaccard >= 0.4 THEN 1 ELSE 0 END AS jacc_level,
+         CAST(da.lang = db.lang AS INT) AS lang_level,
+         CAST(da.source = db.source AS INT) AS source_level
+  FROM jr JOIN documents da ON da.doc_id = ref_a JOIN documents db ON db.doc_id = ref_b
+)
+SELECT ref_a, ref_b, jacc_level, lang_level, source_level,
+       round({fs_w}, 6) AS match_weight,
+       round(({fs_bm}) / (({fs_bm}) + ({fs_bu})), 6) AS match_probability
+FROM lev"""
+
+    out["fs_estimate_mu"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')},
+lab AS (
+  SELECT CASE WHEN jaccard >= 0.8 THEN 2 WHEN jaccard >= 0.4 THEN 1 ELSE 0 END AS jacc_level,
+         CAST(matches >= {FS_MATCHES_MIN} AS INT) AS matches_level,
+         CAST(ref_a % {DUP_OFFSET} = ref_b % {DUP_OFFSET} AS INT) AS y
+  FROM (SELECT ref_a, ref_b, matches,
+               matches / CAST(ta.n_tg + tb.n_tg - matches AS DOUBLE) AS jaccard
+        FROM rawpairs JOIN tc ta ON ta.ref = ref_a JOIN tc tb ON tb.ref = ref_b)
+),
+tagged AS (
+  SELECT 'jacc_level' AS field, jacc_level AS level, y FROM lab
+  UNION ALL
+  SELECT 'matches_level' AS field, matches_level AS level, y FROM lab
+),
+counts AS (SELECT field, level, sum(y) AS cm, sum(1 - y) AS cu FROM tagged GROUP BY 1, 2),
+uni AS (SELECT field, sum(cm) AS nm, sum(cu) AS nu FROM counts GROUP BY 1),
+grid AS (SELECT field, nm, nu, unnest([0, 1, 2]) AS level FROM uni)
+SELECT g.field, CAST(g.level AS INT) AS level,
+       round((coalesce(cm, 0) + 0.5) / (nm + 0.5 * 3), 6) AS m,
+       round((coalesce(cu, 0) + 0.5) / (nu + 0.5 * 3), 6) AS u
+FROM grid g LEFT JOIN counts c ON c.field = g.field AND c.level = g.level"""
+
+    # --- cluster_metrics: near-dedup clusters vs the planted truth; the
+    # B-cubed numerators are the same overflow-safe scaled-integer sums the
+    # Spark side aggregates, so every aggregate is exact integer math
+    _ms = METRIC_SCALE
+    _prec = "CASE WHEN pred_pairs > 0 THEN tp / pred_pairs ELSE 0.0 END"
+    _rec = "CASE WHEN true_pairs > 0 THEN tp / true_pairs ELSE 0.0 END"
+    _bp = f"CAST(bp AS DOUBLE) / {float(_ms)!r} / n_items"
+    _br = f"CAST(br AS DOUBLE) / {float(_ms)!r} / n_items"
+
+    def _f1_sql(p: str, r: str) -> str:
+        return (
+            f"CASE WHEN ({p}) + ({r}) > 0 "
+            f"THEN 2.0 * ({p}) * ({r}) / (({p}) + ({r})) ELSE 0.0 END"
+        )
+
+    out["cluster_metrics"] = f"""WITH RECURSIVE {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.minhash_ctes('hay', MINHASH_PARAMS)},
+cand AS ({oracle.lsh_pairs_sql('hay', num_hashes=32, bands=8)}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand WHERE est_jaccard >= {NEARDUP_EST_J}),
+{oracle.cc_walk_ctes('edges')},
+comp AS (SELECT node, CAST(min(label) AS BIGINT) AS keep FROM walk GROUP BY node),
+assign AS (
+  SELECT CAST(coalesce(c.keep, n.ref) AS BIGINT) AS p, n.ref % {DUP_OFFSET} AS t
+  FROM hay_norm n LEFT JOIN comp c ON c.node = n.ref
+),
+cells AS (SELECT p, t, count(*) AS n FROM assign GROUP BY 1, 2),
+psz AS (SELECT p, sum(n) AS np FROM cells GROUP BY 1),
+tsz AS (SELECT t, sum(n) AS nt FROM cells GROUP BY 1),
+core AS (
+  SELECT sum(n) AS n_items,
+         sum((n * (n - 1)) // 2) AS tp,
+         sum((n * n // np) * {_ms} + ((n * n % np) * {_ms}) // np) AS bp,
+         sum((n * n // nt) * {_ms} + ((n * n % nt) * {_ms}) // nt) AS br
+  FROM cells JOIN psz USING (p) JOIN tsz USING (t)
+),
+agg AS (
+  SELECT n_items, tp, bp, br,
+         (SELECT sum((np * (np - 1)) // 2) FROM psz) AS pred_pairs,
+         (SELECT sum((nt * (nt - 1)) // 2) FROM tsz) AS true_pairs
+  FROM core
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(tp AS BIGINT) AS tp_pairs,
+       CAST(pred_pairs AS BIGINT) AS pred_pairs,
+       CAST(true_pairs AS BIGINT) AS true_pairs,
+       round({_prec}, 6) AS pairwise_precision,
+       round({_rec}, 6) AS pairwise_recall,
+       round({_f1_sql(_prec, _rec)}, 6) AS pairwise_f1,
+       round({_bp}, 6) AS bcubed_precision,
+       round({_br}, 6) AS bcubed_recall,
+       round({_f1_sql(_bp, _br)}, 6) AS bcubed_f1
+FROM agg"""
+
+    # incremental delta folding provably equals the full recompute, so the
+    # full-recompute SQL IS its oracle
+    out["incremental_entities"] = oracle.cc_sql(
+        _SUBSET_SQL, "doc_id", "text", CC_THRESHOLD
+    )
 
     sess = f"""sess AS (
   SELECT event_id, user_id, event_type, value, us, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -229,3 +229,66 @@ def golden_records(
         (-F.col("_best.neg_len")).cast("int").alias("canonical_len"),
         F.col("_best.text").alias("canonical_text"),
     )
+
+
+def incremental_entities(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold a delta batch of match edges into an existing entity assignment
+    WITHOUT re-clustering history.
+
+    ``prev`` is a prior :func:`connected_components` /
+    :func:`assign_entities` output ``(ref, entity_id)`` whose labels are
+    component minima (both functions guarantee that). Each delta edge
+    endpoint is contracted to its previous entity id (identity for unseen
+    nodes), connected components runs over the CONTRACTED graph only --
+    O(delta) edges, never O(history) -- and the resulting supernode labels
+    are painted back over the previous assignment with one equi-join.
+
+    Output ``(ref, entity_id)`` covers every previously-assigned ref plus
+    every delta endpoint, and is EXACTLY equal to recomputing
+    ``assign_entities`` over (history union delta): a supernode's id is the
+    min of its old component, so the min over merged supernodes is the min
+    of the merged component (pinned by the equivalence test). This is the
+    batch face of the streaming incremental dedup -- new near-dup pairs
+    arrive per trigger, entities update in O(batch) work.
+    """
+    p = prev.select(
+        F.col("ref").cast("long").alias("ref"),
+        F.col("entity_id").cast("long").alias("entity_id"),
+    )
+    e = new_edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    # contract endpoints through the previous labels (identity when unseen)
+    contracted = (
+        e.join(p.withColumnRenamed("ref", "src"), "src", "left")
+        .select(
+            F.coalesce("entity_id", "src").alias("csrc"),
+            "dst",
+        )
+        .join(p.withColumnRenamed("ref", "dst"), "dst", "left")
+        .select(
+            F.col("csrc").alias("src"),
+            F.coalesce("entity_id", "dst").alias("dst"),
+        )
+    )
+    comp = connected_components(contracted, **cc_kwargs).withColumnsRenamed(
+        {"ref": "_super", "entity_id": "_new"}
+    )
+    # universe = previously assigned refs + raw delta endpoints
+    nodes = (
+        p.select("ref", "entity_id")
+        .unionByName(
+            e.select(F.col("src").alias("ref")).union(e.select("dst")).distinct()
+            .join(p, "ref", "left_anti")
+            .select("ref", F.col("ref").alias("entity_id"))
+        )
+    )
+    return nodes.join(comp, nodes["entity_id"] == comp["_super"], "left").select(
+        "ref", F.coalesce("_new", "entity_id").alias("entity_id")
+    )

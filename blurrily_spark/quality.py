@@ -67,3 +67,85 @@ def pairwise_f1(
         "pred_pairs": pred_pairs,
         "true_pairs": true_pairs,
     }
+
+
+def cluster_metrics(
+    assign: DataFrame,
+    id_col: str = "ref",
+    pred_col: str = "entity_id",
+    truth_col: str = "entity_true",
+    exact_scale: int = 10**9,
+) -> DataFrame:
+    """Full clustering-quality scorecard as a ONE-ROW DataFrame (no collect).
+
+    Input: one row per item with predicted and true cluster labels. Output
+    columns: ``n_items``, pairwise ``tp_pairs / pred_pairs / true_pairs /
+    pairwise_precision / pairwise_recall / pairwise_f1``, and B-cubed
+    ``bcubed_precision / bcubed_recall / bcubed_f1`` (Bagga & Baldwin 1998;
+    the standard pair of ER evaluation metrics -- pairwise is the north
+    rule's F1 gate itself, B-cubed weights every *item* equally so giant
+    clusters can't drown the tail).
+
+    Everything reduces over the (pred, true) CONTINGENCY TABLE -- at most
+    one row per non-empty label intersection -- so no pair is ever
+    materialized: tp = sum n_ij*(n_ij-1)/2, pairwise totals come from the
+    marginal sizes, and B-cubed precision/recall are
+    sum(n_ij^2 / n_i.) / N and sum(n_ij^2 / n_.j) / N.
+
+    Cross-engine determinism: double SUMS are partition-order dependent, so
+    the B-cubed numerators aggregate as *scaled integers* instead --
+    floor(n^2 * exact_scale / size) per cell, computed overflow-safely as
+    ``(n*n DIV size)*S + ((n*n MOD size)*S) DIV size`` -- making every
+    aggregate exact integer math (bit-identical in any engine; truncation
+    error <= 1/exact_scale total). The only floats are final single
+    divisions. ANSI mode turns any overflow into a loud error; if a single
+    cluster exceeds ~9.2e18/exact_scale members, lower ``exact_scale``.
+    """
+    s = int(exact_scale)
+    if s <= 10**6:
+        raise ValueError("exact_scale must exceed 1e6 to survive round-6 output")
+    a = assign.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).alias("_p"), F.col(truth_col).alias("_t")
+    )
+    cells = a.groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("n"))
+    pred_sizes = cells.groupBy("_p").agg(F.sum("n").alias("np"))
+    true_sizes = cells.groupBy("_t").agg(F.sum("n").alias("nt"))
+
+    def _scaled_div(num: str, den: str):
+        # floor(num * s / den) without forming num * s
+        return F.expr(f"({num} DIV {den}) * {s} + (({num} % {den}) * {s}) DIV {den}")
+
+    core = (
+        cells.join(pred_sizes, "_p")
+        .join(true_sizes, "_t")
+        .agg(
+            F.sum("n").alias("n_items"),
+            F.expr("sum((n * (n - 1)) DIV 2)").alias("tp_pairs"),
+            F.sum(_scaled_div("n * n", "np")).alias("_bp"),
+            F.sum(_scaled_div("n * n", "nt")).alias("_br"),
+        )
+    )
+    pp = pred_sizes.agg(F.expr("sum((np * (np - 1)) DIV 2)").alias("pred_pairs"))
+    tp_ = true_sizes.agg(F.expr("sum((nt * (nt - 1)) DIV 2)").alias("true_pairs"))
+    one = core.crossJoin(pp).crossJoin(tp_)
+
+    prec = F.when(F.col("pred_pairs") > 0, F.col("tp_pairs") / F.col("pred_pairs")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("true_pairs") > 0, F.col("tp_pairs") / F.col("true_pairs")).otherwise(F.lit(0.0))
+    bp = F.col("_bp") / F.lit(float(s)) / F.col("n_items")
+    br = F.col("_br") / F.lit(float(s)) / F.col("n_items")
+
+    def _f1(p, r):
+        return F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0))
+
+    return one.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("tp_pairs").cast("long").alias("tp_pairs"),
+        F.col("pred_pairs").cast("long").alias("pred_pairs"),
+        F.col("true_pairs").cast("long").alias("true_pairs"),
+        F.round(prec, 6).alias("pairwise_precision"),
+        F.round(rec, 6).alias("pairwise_recall"),
+        F.round(_f1(prec, rec), 6).alias("pairwise_f1"),
+        F.round(bp, 6).alias("bcubed_precision"),
+        F.round(br, 6).alias("bcubed_recall"),
+        F.round(_f1(bp, br), 6).alias("bcubed_f1"),
+    )

@@ -188,3 +188,137 @@ def test_golden_records_null_text_loses(spark):
     }
     assert got[1] == (2, 2, "bb")
     assert got[5] == (5, 0, "")  # all-null entity: lowest ref, empty survivor
+
+
+# ---------------------------------------------------------------------------
+# incremental_entities: delta folding == full recompute
+# ---------------------------------------------------------------------------
+
+def test_incremental_equals_full_recompute(spark):
+    from blurrily_spark.operators.cluster import incremental_entities
+
+    rng = random.Random(13)
+    nodes = list(range(60))
+    all_edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    for cut in (0, 20, 40, 80):
+        old, delta = all_edges[:cut], all_edges[cut:]
+        old_nodes = {n for e in old for n in e}
+        prev = assign_entities(
+            spark.createDataFrame([(n,) for n in sorted(old_nodes)] or [(0,)], "ref long"),
+            spark.createDataFrame(old or [(0, 0)], "src long, dst long"),
+        )
+        got_df = incremental_entities(prev, spark.createDataFrame(delta or [(0, 0)], "src long, dst long"))
+        got = {r["ref"]: r["entity_id"] for r in got_df.collect()}
+        universe = old_nodes | {n for e in delta for n in e} or {0}
+        expected = union_find_components([e for e in old + delta], universe)
+        assert got == expected, f"cut={cut}"
+
+
+def test_incremental_merges_two_prior_entities(spark):
+    from blurrily_spark.operators.cluster import incremental_entities
+
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (50, 50)], "ref long, entity_id long"
+    )
+    # delta bridges members (not minima) of the two entities + a fresh node
+    delta = spark.createDataFrame([(2, 11), (99, 98)], "src long, dst long")
+    got = {r["ref"]: r["entity_id"] for r in incremental_entities(prev, delta).collect()}
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1, 50: 50, 98: 98, 99: 98}
+
+
+def test_incremental_noop_delta_preserves_assignment(spark):
+    from blurrily_spark.operators.cluster import incremental_entities
+
+    prev = spark.createDataFrame([(1, 1), (2, 1), (7, 7)], "ref long, entity_id long")
+    delta = spark.createDataFrame([(1, 2)], "src long, dst long")  # already same entity
+    got = {r["ref"]: r["entity_id"] for r in incremental_entities(prev, delta).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
+
+
+# ---------------------------------------------------------------------------
+# cluster_metrics: hand-golden + python property model
+# ---------------------------------------------------------------------------
+
+def _py_metrics(pred: dict, truth: dict):
+    import itertools
+
+    ids = sorted(pred)
+    tp = pp = tpr = 0
+    for a, b in itertools.combinations(ids, 2):
+        sp, st = pred[a] == pred[b], truth[a] == truth[b]
+        tp += sp and st
+        pp += sp
+        tpr += st
+    prec = tp / pp if pp else 0.0
+    rec = tp / tpr if tpr else 0.0
+    n = len(ids)
+    bp = sum(
+        sum(1 for j in ids if pred[j] == pred[i] and truth[j] == truth[i])
+        / sum(1 for j in ids if pred[j] == pred[i])
+        for i in ids
+    ) / n
+    br = sum(
+        sum(1 for j in ids if pred[j] == pred[i] and truth[j] == truth[i])
+        / sum(1 for j in ids if truth[j] == truth[i])
+        for i in ids
+    ) / n
+    f1 = lambda p, r: 2 * p * r / (p + r) if p + r else 0.0
+    return dict(tp_pairs=tp, pred_pairs=pp, true_pairs=tpr,
+                pairwise_precision=prec, pairwise_recall=rec, pairwise_f1=f1(prec, rec),
+                bcubed_precision=bp, bcubed_recall=br, bcubed_f1=f1(bp, br))
+
+
+def _metrics_df(spark, pred, truth):
+    from blurrily_spark.quality import cluster_metrics
+
+    rows = [(i, pred[i], truth[i]) for i in sorted(pred)]
+    df = spark.createDataFrame(rows, "ref long, entity_id long, entity_true long")
+    return cluster_metrics(df).collect()[0].asDict()
+
+
+def test_cluster_metrics_hand_golden(spark):
+    pred = {1: 100, 2: 100, 3: 200, 4: 200, 5: 300}
+    truth = {1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
+    got = _metrics_df(spark, pred, truth)
+    assert got["n_items"] == 5
+    assert got["tp_pairs"] == 1 and got["pred_pairs"] == 2 and got["true_pairs"] == 4
+    assert got["pairwise_precision"] == 0.5
+    assert got["pairwise_recall"] == 0.25
+    assert got["bcubed_precision"] == 0.8
+    assert got["bcubed_recall"] == round(8 / 15, 6)
+
+
+def test_cluster_metrics_perfect_and_degenerate(spark):
+    pred = {i: i // 3 for i in range(9)}
+    got = _metrics_df(spark, pred, pred)
+    for k in ("pairwise_precision", "pairwise_recall", "pairwise_f1",
+              "bcubed_precision", "bcubed_recall", "bcubed_f1"):
+        assert got[k] == 1.0
+    # all-singleton prediction: zero predicted pairs -> precision 0, not NaN
+    got = _metrics_df(spark, {i: i for i in range(4)}, {i: 0 for i in range(4)})
+    assert got["pairwise_precision"] == 0.0 and got["pairwise_f1"] == 0.0
+    assert got["bcubed_precision"] == 1.0  # each item alone is pure
+
+
+def test_cluster_metrics_matches_python_model(spark):
+    rng = random.Random(5)
+    for trial in range(3):
+        ids = range(40)
+        pred = {i: rng.randrange(6) for i in ids}
+        truth = {i: rng.randrange(5) for i in ids}
+        got = _metrics_df(spark, pred, truth)
+        exp = _py_metrics(pred, truth)
+        for k, v in exp.items():
+            if isinstance(v, float):
+                assert abs(got[k] - v) < 2e-6, (trial, k, got[k], v)
+            else:
+                assert got[k] == v, (trial, k)
+
+
+def test_cluster_metrics_exact_scale_guard(spark):
+    import pytest as _pt
+    from blurrily_spark.quality import cluster_metrics
+
+    df = spark.createDataFrame([(1, 1, 1)], "ref long, entity_id long, entity_true long")
+    with _pt.raises(ValueError, match="exact_scale"):
+        cluster_metrics(df, exact_scale=10**6)
