@@ -60,6 +60,10 @@ NO_PYTHON_QUERIES = [
     "golden_records",
     "sessionize",
     "session_stats",
+    "fs_match_weights",   # FS weights are literal arithmetic, pure codegen
+    "fs_estimate_mu",     # tagged explode + groupBy, no Python
+    "cluster_metrics",    # contingency-table aggregates, scaled-int math
+    "incremental_entities",
 ]
 
 
@@ -128,3 +132,22 @@ def test_repetition_stats_gram_side_is_single_scan(spark):
     total (grams + the line-stats join side), never one per gram size."""
     plan = _plan(em.queries()["repetition_stats"](spark, SF_DIR))
     assert plan.count("Scan parquet") <= 2, "gram passes re-split per size"
+
+
+def test_fs_score_adds_no_exchange(spark):
+    """fs_score is a single codegen'd projection over its input: the
+    per-level weights are literals in the plan (element_at on a literal
+    array), so scoring adds zero exchanges beyond the pair source --
+    the property that keeps it free over 10^12 candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from blurrily_spark.operators.linkage import FieldModel, fs_score
+
+    fm = FieldModel("j", "lvl", m=(0.2, 0.8), u=(0.9, 0.1))
+    base = spark.range(100).select(
+        (F.col("id") % 2).cast("int").alias("lvl")
+    )
+    before = base._jdf.queryExecution().executedPlan().toString()
+    after = fs_score(base, [fm])._jdf.queryExecution().executedPlan().toString()
+    assert after.count("Exchange") == before.count("Exchange") == 0
+    assert "ArrowEvalPython" not in after and "BatchEvalPython" not in after
