@@ -42,6 +42,12 @@ Queries:
   q_session_stats  -- gap-rule sessionization + per-session rollups
   q_sorted_neighborhood -- SNM blocking pairs over documents (global
                       ranks without a one-task window)
+  q_cluster_metrics -- pairwise + B-cubed P/R/F1 of the near-dedup
+                      clustering vs the planted truth (contingency-table
+                      reduction only; the F1s ship as extras)
+  q_fs_score       -- Fellegi-Sunter probabilistic linkage over the SF
+                      documents: postings -> capped blocking -> jaccard ->
+                      agreement levels -> literal-weight scoring
   q_linkage_pipeline -- full transcripts->entities linkage run on a seeded
                         synthetic transcripts corpus sized to the SF
                         (materialized once to /tmp and reused)
@@ -333,6 +339,80 @@ def main() -> None:
         .count(),
     )
 
+    # round 5: ER evaluation metrics at SF scale -- the near-dedup clustering
+    # scored against the planted truth (pairwise + B-cubed, contingency-table
+    # aggregates only). The assignment itself is q_near_dedup's work, so it
+    # is materialized OUTSIDE the timing; q_cluster_metrics times the metric
+    # reduction, and the resulting F1s ship as extras.
+    from blurrily_spark.quality import cluster_metrics as _cluster_metrics
+
+    nd_assign = (
+        dedup.near_dedup(sketch_corpus, hash_fn="fast")
+        .select(
+            F.col("id").alias("ref"),
+            F.col("keep_id").alias("entity_id"),
+            (F.col("id") % 10_000_000).alias("entity_true"),
+        )
+        .cache()
+    )
+    nd_assign.count()
+    metrics_row: dict = {}
+    timed(
+        "q_cluster_metrics",
+        lambda: metrics_row.update(_cluster_metrics(nd_assign).collect()[0].asDict()),
+    )
+
+    # round 5: Fellegi-Sunter probabilistic linkage over the SF documents --
+    # postings -> capped blocking join -> jaccard -> agreement levels ->
+    # literal-weight scoring; the count+avg forces the whole path
+    from blurrily_spark.operators.index import build_postings as _build_postings
+    from blurrily_spark.operators.linkage import fs_score as _fs_score
+    from blurrily_spark.operators.pairs import (
+        candidate_pairs as _cand_pairs,
+        with_jaccard as _with_jacc,
+    )
+
+    docs_meta = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text", "lang", "source")
+
+    def _run_fs() -> None:
+        p = _build_postings(
+            docs_meta, text_col="text", ref_col="doc_id", weight_col=None
+        ).cache()
+        try:
+            pairs = _with_jacc(_cand_pairs(p, max_df=64), p)
+            a = docs_meta.select(
+                F.col("doc_id").alias("ref_a"),
+                F.col("lang").alias("_la"),
+                F.col("source").alias("_sa"),
+            )
+            b = docs_meta.select(
+                F.col("doc_id").alias("ref_b"),
+                F.col("lang").alias("_lb"),
+                F.col("source").alias("_sb"),
+            )
+            lev = (
+                pairs.join(a, "ref_a")
+                .join(b, "ref_b")
+                .select(
+                    F.when(F.col("jaccard") >= 0.8, 2)
+                    .when(F.col("jaccard") >= 0.4, 1)
+                    .otherwise(0)
+                    .cast("int")
+                    .alias("jacc_level"),
+                    (F.col("_la") == F.col("_lb")).cast("int").alias("lang_level"),
+                    (F.col("_sa") == F.col("_sb")).cast("int").alias("source_level"),
+                )
+            )
+            _fs_score(
+                lev, [em.FS_JACC, em.FS_LANG, em.FS_SOURCE], prior=em.FS_PRIOR
+            ).selectExpr("count(*)", "avg(match_weight)").collect()
+        finally:
+            p.unpersist()
+
+    timed("q_fs_score", _run_fs)
+
     # full linkage pipeline over synthetic transcripts -- registered like
     # every other query so its trials interleave too (a fresh workdir per
     # invocation: a reused one would hit the pipeline's stage-resume cache
@@ -367,8 +447,12 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
     extras["ann_recall_at5"] = round(len(got & bf) / len(bf), 3)
+    if metrics_row:
+        extras["near_dedup_pairwise_f1"] = metrics_row["pairwise_f1"]
+        extras["near_dedup_bcubed_f1"] = metrics_row["bcubed_f1"]
     corpus.unpersist()
     sem_corpus.unpersist()
+    nd_assign.unpersist()
 
     # report the INNER wall (pipe.run only, comparable with prior rounds
     # -- timed() around _run_linkage also counts mkdtemp/rmtree) and take
