@@ -265,6 +265,34 @@ def ids_sidecar_dir(sigs_dir: str) -> str:
     return f"{sigs_dir.rstrip('/')}/_ids"
 
 
+def entities_dir_default(pairs_dir: str) -> str:
+    return f"{pairs_dir.rstrip('/')}_entities"
+
+
+def _fold_entities(hist: "DataFrame | None") -> "DataFrame | None":
+    """Latest-wins fold over the per-batch entity deltas: one partial-
+    aggregating ``max(struct(_b, entity_id))`` per ref -- no window, no
+    whole-history sort. ``_b`` is the writing batchId, so the newest
+    assignment for a ref always wins regardless of read order."""
+    if hist is None:
+        return None
+    agg = hist.groupBy("ref").agg(
+        F.max(F.struct(F.col("_b"), F.col("entity_id"))).alias("_x")
+    )
+    return agg.select("ref", F.col("_x.entity_id").alias("entity_id"))
+
+
+def read_entities(spark: SparkSession, entities_dir: str) -> "DataFrame | None":
+    """Current entity assignment ``(ref, entity_id)`` maintained by
+    :func:`stream_minhash_dedup` (with ``entities_dir`` set), or None if
+    nothing committed yet. Covers every ref that ever appeared in an
+    emitted pair; singletons never matched are the caller's to add
+    (same contract as :func:`..operators.cluster.connected_components`)."""
+    from blurrily_spark.streaming.sink import read_sink
+
+    return _fold_entities(read_sink(spark, entities_dir))
+
+
 def minhash_batch_writer(
     sigs_dir: str,
     pairs_dir: str,
@@ -273,6 +301,7 @@ def minhash_batch_writer(
     threshold: float = 0.5,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    entities_dir: str | None = None,
 ):
     """foreachBatch body for :func:`stream_minhash_dedup`.
 
@@ -306,14 +335,18 @@ def minhash_batch_writer(
         sig_sink = BatchSink(sess, sigs_dir)
         pair_sink = BatchSink(sess, pairs_dir)
         id_sink = BatchSink(sess, ids_sidecar_dir(sigs_dir))
+        ent_sink = BatchSink(sess, entities_dir) if entities_dir is not None else None
         if checkpoint_dir is not None:
             sig_sink.claim(checkpoint_dir)
             pair_sink.claim(checkpoint_dir)
+            if ent_sink is not None:
+                ent_sink.claim(checkpoint_dir)
         _ensure_sidecar(sig_sink, id_sink, ["id"])
         if (
             sig_sink.is_committed(batch_id)
             and pair_sink.is_committed(batch_id)
             and id_sink.is_committed(batch_id)
+            and (ent_sink is None or ent_sink.is_committed(batch_id))
         ):
             return
         turns = build_turns(batch_df)
@@ -370,7 +403,38 @@ def minhash_batch_writer(
                 id_sink.commit(batch_id)
         finally:
             new_banded.unpersist()
-        _maybe_compact([sig_sink, pair_sink, id_sink], compact_every, batch_rows)
+        if ent_sink is not None and not ent_sink.is_committed(batch_id):
+            # streaming entity resolution: fold THIS batch's pairs into the
+            # persisted assignment with incremental_entities -- CC over the
+            # O(batch) contracted delta graph, never over history. The delta
+            # edges are read back from the just-committed pairs batch (the
+            # lazy `pairs` plan would re-run the banded join), and the prior
+            # assignment excludes this batchId so a partial-commit replay
+            # recomputes against the pre-batch state. Only CHANGED rows are
+            # written (tagged with the batchId for the latest-wins read), so
+            # per-trigger history growth is O(churn), bounded by compaction.
+            from blurrily_spark.operators.cluster import incremental_entities
+
+            delta = (
+                sess.read.parquet(pair_sink.batch_path(batch_id))
+                .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            )
+            prev = _fold_entities(ent_sink.read(exclude=batch_id))
+            prev_df = (
+                prev
+                if prev is not None
+                else sess.createDataFrame([], "ref long, entity_id long")
+            )
+            new_assign = incremental_entities(prev_df, delta)
+            changed = (
+                new_assign
+                if prev is None
+                else new_assign.join(prev, ["ref", "entity_id"], "left_anti")
+            )
+            ent_sink.write(changed.withColumn("_b", F.lit(batch_id)), batch_id)
+            ent_sink.commit(batch_id)
+        sinks = [sig_sink, pair_sink, id_sink] + ([ent_sink] if ent_sink else [])
+        _maybe_compact(sinks, compact_every, batch_rows)
 
     return _batch
 
@@ -387,6 +451,7 @@ def stream_minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     compact_every: int | None = 16,
+    entities_dir: str | None = None,
 ):
     """Incremental near-duplicate detection over a transcript stream.
 
@@ -399,13 +464,21 @@ def stream_minhash_dedup(
     ``checkpoint_dir`` and compacted every ``compact_every`` batches (see
     :func:`stream_index_build`); the already-seen membership test reads a
     per-batch ids sidecar, never a distinct over the signature history.
+
+    With ``entities_dir`` set, each trigger additionally folds the batch's
+    qualifying pairs into a persisted TRANSITIVE entity assignment via
+    :func:`..operators.cluster.incremental_entities` -- connected
+    components run over the O(batch) contracted delta graph only, and the
+    assignment after N batches exactly equals batch CC over all emitted
+    pairs (pinned by the streaming parity test). Read it back with
+    :func:`read_entities`.
     """
     src = read_transcripts_stream(spark, input_dir)
     writer = (
         src.writeStream.foreachBatch(
             minhash_batch_writer(
                 sigs_dir, pairs_dir, num_hashes, bands, threshold,
-                checkpoint_dir, compact_every,
+                checkpoint_dir, compact_every, entities_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

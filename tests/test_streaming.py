@@ -700,3 +700,59 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) == 3  # user 1 x2 + user 2 x1, each exactly once
+
+
+def test_stream_entity_resolution_matches_batch_cc(spark, tmp_path):
+    """Streaming incremental entities: with entities_dir set, the persisted
+    assignment after every trigger equals batch connected-components over
+    ALL pairs emitted so far -- and a replayed batch leaves it unchanged."""
+    from blurrily_spark.operators.cluster import connected_components
+    from blurrily_spark.streaming.stream import (
+        minhash_batch_writer,
+        read_entities,
+    )
+
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    ents = str(tmp_path / "entities")
+    writer = minhash_batch_writer(sigs, pairs, threshold=0.4, entities_dir=ents)
+
+    full = generate_transcripts(spark, n_entities=4, variants_per_entity=4,
+                                turns_per_conv=3, n_perturbations=1, seed=3)
+    batches = [
+        full.where(full.conv_id.endswith("_v00") | full.conv_id.endswith("_v01")),
+        full.where(full.conv_id.endswith("_v02")),
+        full.where(full.conv_id.endswith("_v03")),
+    ]
+
+    def batch_cc():
+        edges = read_sink(spark, pairs).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        return {(r["ref"], r["entity_id"])
+                for r in connected_components(edges).collect()}
+
+    for i, b in enumerate(batches):
+        writer(b, i)
+        got = {(r["ref"], r["entity_id"])
+               for r in read_entities(spark, ents).collect()}
+        assert got == batch_cc(), f"divergence after batch {i}"
+    assert got, "expected non-empty entity assignment"
+    # later batches must have merged cross-batch: some ref reassigned, i.e.
+    # the entities history carries more rows than the final assignment
+    hist_rows = read_sink(spark, ents).count()
+    assert hist_rows >= len(got)
+
+    # full replay of the last batch: a no-op for the entities sink too
+    before = read_sink(spark, ents).count()
+    writer(batches[-1], len(batches) - 1)
+    assert read_sink(spark, ents).count() == before
+
+    # partial replay: entities marker lost AFTER pairs committed -- the
+    # replay republishes an equivalent assignment from the pre-batch state
+    fs, marker = BatchSink(spark, ents)._marker(2)
+    fs.delete(marker, False)
+    writer(batches[-1], 2)
+    got2 = {(r["ref"], r["entity_id"])
+            for r in read_entities(spark, ents).collect()}
+    assert got2 == got
