@@ -29,10 +29,11 @@ from blurrily_spark.operators.cluster import (
 from blurrily_spark.operators.events import session_stats, sessionize
 from blurrily_spark.operators.find import find
 from blurrily_spark.operators.linkage import FieldModel, estimate_m_u, fs_score
-from blurrily_spark.quality import cluster_metrics
+from blurrily_spark.quality import blocking_metrics, cluster_metrics
 from blurrily_spark.operators.index import build_postings, delete_refs, stats
 from blurrily_spark.operators.pairs import (
     candidate_pairs,
+    meta_blocking_prune,
     sorted_neighborhood_pairs,
     with_jaccard,
 )
@@ -671,6 +672,32 @@ def q_cluster_metrics(spark, sf_dir):
     return cluster_metrics(assign, exact_scale=METRIC_SCALE)
 
 
+def q_meta_blocking(spark, sf_dir):
+    # meta-blocking (Papadakis TKDE 2014): prune the blocker's candidate
+    # graph by CBS edge weight (= shared-trigram count, already computed by
+    # candidate_pairs) under union-WNP -- node stats are one groupBy of the
+    # directed edge view, pruning is a filter; nothing is re-paired
+    edges = candidate_pairs(_postings(spark, sf_dir, subset=True)).select(
+        "ref_a", "ref_b", "matches"
+    )
+    return meta_blocking_prune(edges, weight_col="matches", scheme="wnp")
+
+
+def q_blocking_metrics(spark, sf_dir):
+    # the blocking half of ER evaluation (Christen 2012 §7.3): reduction
+    # ratio / pairs completeness / pairs quality of trigram blocking over
+    # the planted-dup corpus; all counts integer-exact, reduced over the
+    # truth-label table (no pair materialization beyond the blocker's own)
+    docs = _docs_with_dups(spark, sf_dir)
+    p = build_postings(docs, text_col="text", ref_col="doc_id", weight_col=None)
+    cand = candidate_pairs(p, keys_only=True)
+    truth = docs.select(
+        F.col("doc_id").alias("ref"),
+        (F.col("doc_id") % DUP_OFFSET).alias("entity_true"),
+    )
+    return blocking_metrics(cand, truth)
+
+
 def q_incremental_entities(spark, sf_dir):
     # delta folding: entities from strong edges (j >= 0.7) updated with the
     # 0.6..0.7 band only -- result provably equals full CC at 0.6 (the
@@ -820,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_weights": q_fs_match_weights,
         "fs_estimate_mu": q_fs_estimate_mu,
         "cluster_metrics": q_cluster_metrics,
+        "meta_blocking": q_meta_blocking,
+        "blocking_metrics": q_blocking_metrics,
         "incremental_entities": q_incremental_entities,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -1625,6 +1654,56 @@ FROM agg"""
     out["incremental_entities"] = oracle.cc_sql(
         _SUBSET_SQL, "doc_id", "text", CC_THRESHOLD
     )
+
+    # --- meta_blocking: union-WNP pruning of the CBS-weighted candidate
+    # graph; node means compared as w*cnt >= sum_w so everything is exact
+    # integer math in both engines
+    out["meta_blocking"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')},
+nstats AS (
+  SELECT node, sum(w) AS sum_w, count(*) AS cnt FROM (
+    SELECT ref_a AS node, matches AS w FROM rawpairs
+    UNION ALL
+    SELECT ref_b AS node, matches AS w FROM rawpairs
+  ) GROUP BY node
+)
+SELECT p.ref_a, p.ref_b, p.matches
+FROM rawpairs p
+JOIN nstats sa ON sa.node = p.ref_a
+JOIN nstats sb ON sb.node = p.ref_b
+WHERE p.matches * sa.cnt >= sa.sum_w OR p.matches * sb.cnt >= sb.sum_w"""
+
+    # --- blocking_metrics: RR / PC / PQ of trigram blocking against the
+    # planted-dup truth; counts reduce over truth cluster sizes, the only
+    # floats are the final divisions
+    _pc = "CASE WHEN true_matches > 0 THEN tp_candidates / true_matches ELSE 0.0 END"
+    _pq = "CASE WHEN n_candidates > 0 THEN tp_candidates / n_candidates ELSE 0.0 END"
+    out["blocking_metrics"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')},
+truth AS (SELECT ref AS id, ref % {DUP_OFFSET} AS t FROM hay_norm),
+sizes AS (SELECT t, count(*) AS c FROM truth GROUP BY t),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_items,
+         CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS true_matches
+  FROM sizes
+),
+cstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN ta.t = tb.t THEN 1 ELSE 0 END) AS BIGINT) AS tp_candidates
+  FROM rawpairs JOIN truth ta ON ta.id = ref_a JOIN truth tb ON tb.id = ref_b
+),
+agg AS (
+  SELECT *, CAST((n_items * (n_items - 1)) // 2 AS BIGINT) AS total_pairs
+  FROM tot CROSS JOIN cstats
+)
+SELECT n_items, total_pairs, true_matches, n_candidates, tp_candidates,
+       round(CASE WHEN total_pairs > 0 THEN 1.0 - n_candidates / total_pairs ELSE 0.0 END, 6) AS reduction_ratio,
+       round({_pc}, 6) AS pairs_completeness,
+       round({_pq}, 6) AS pairs_quality,
+       round({_f1_sql(_pc, _pq)}, 6) AS pq_pc_f1
+FROM agg"""
 
     sess = f"""sess AS (
   SELECT event_id, user_id, event_type, value, us, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -240,6 +240,90 @@ def with_jaccard(pairs: DataFrame, postings: DataFrame) -> DataFrame:
     )
 
 
+# -- meta-blocking (candidate-graph pruning) -----------------------------------
+#
+# Papadakis et al., "Meta-Blocking: Taking Entity Resolution to the Next
+# Level" (TKDE 2014): treat the blocker's candidate pairs as a weighted
+# graph and prune low-evidence edges BEFORE pairwise scoring. The classic
+# weight is CBS (common-blocks scheme) = number of shared blocking keys --
+# exactly the ``matches`` column candidate_pairs already computes, so
+# meta-blocking composes with the existing blocker for free. Pruning
+# schemes:
+#
+# * WEP (weighted-edge pruning): keep edges whose weight >= the global mean
+#   edge weight.
+# * WNP (weighted-node pruning): per-node mean of incident-edge weights;
+#   an edge survives if its weight clears the mean of EITHER endpoint
+#   (the paper's redefined/union WNP -- guarantees every non-isolated node
+#   retains its max-weight edge, so no record is orphaned by pruning).
+#
+# Distributed shape: node statistics are one groupBy over the 2|E|-row
+# directed view (one row per node out), then two equi-joins back on node id
+# -- the same class as with_jaccard's count joins. Nothing is ever
+# re-paired; pruning is a filter. Mean comparisons are evaluated as
+# ``w * cnt >= sum_w`` so integer weights (CBS/matches) stay exact integer
+# math end-to-end -- bit-identical to the DuckDB oracle.
+
+
+def _node_weight_stats(edges: DataFrame, weight_col: str) -> DataFrame:
+    """Per-node (sum of incident edge weights, incident edge count)."""
+    directed = edges.select(
+        F.col("ref_a").alias("node"), F.col(weight_col).alias("_w")
+    ).unionByName(
+        edges.select(F.col("ref_b").alias("node"), F.col(weight_col).alias("_w"))
+    )
+    return directed.groupBy("node").agg(
+        F.sum("_w").alias("sum_w"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def meta_blocking_prune(
+    edges: DataFrame, weight_col: str = "matches", scheme: str = "wnp"
+) -> DataFrame:
+    """Prune the candidate-pair graph by edge-weight evidence (meta-blocking).
+
+    ``edges`` is any (ref_a, ref_b, <weight_col>, ...) candidate set --
+    typically :func:`candidate_pairs` output with CBS weights in
+    ``matches``. Returns the surviving edges with all input columns.
+
+    ``scheme='wnp'``: weighted-node pruning, union semantics -- keep an
+    edge iff ``w >= mean(incident weights of ref_a)`` OR the same for
+    ``ref_b``. ``scheme='wep'``: keep iff ``w >= global mean edge weight``.
+    Ties keep (>=), so WNP provably retains each node's max-weight edge.
+    """
+    if scheme not in ("wnp", "wep"):
+        raise ValueError(f"unknown meta-blocking scheme: {scheme!r}")
+    w = F.col(weight_col)
+    if scheme == "wep":
+        # one-row global stats; crossJoin broadcasts it to every partition
+        totals = edges.agg(
+            F.sum(weight_col).alias("_tw"), F.count(F.lit(1)).alias("_tc")
+        )
+        return (
+            edges.crossJoin(F.broadcast(totals))
+            .where(w * F.col("_tc") >= F.col("_tw"))
+            .drop("_tw", "_tc")
+        )
+    stats = _node_weight_stats(edges, weight_col)
+    sa = stats.select(
+        F.col("node").alias("ref_a"),
+        F.col("sum_w").alias("_sa"),
+        F.col("cnt").alias("_ca"),
+    )
+    sb = stats.select(
+        F.col("node").alias("ref_b"),
+        F.col("sum_w").alias("_sb"),
+        F.col("cnt").alias("_cb"),
+    )
+    return (
+        edges.join(sa, "ref_a")
+        .join(sb, "ref_b")
+        .where((w * F.col("_ca") >= F.col("_sa")) | (w * F.col("_cb") >= F.col("_sb")))
+        .drop("_sa", "_ca", "_sb", "_cb")
+        .select(*edges.columns)
+    )
+
+
 # -- sorted-neighborhood blocking ---------------------------------------------
 #
 # The second classic ER blocking family (Hernandez & Stolfo 1995, SNM):

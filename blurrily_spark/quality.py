@@ -69,6 +69,94 @@ def pairwise_f1(
     }
 
 
+def blocking_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    id_col: str = "ref",
+    truth_col: str = "entity_true",
+) -> DataFrame:
+    """Blocking-scheme scorecard as a ONE-ROW DataFrame (no collect).
+
+    The standard evaluation triple for ER blocking (Christen, *Data
+    Matching* 2012, §7.3): given the candidate-pair set a blocker proposed
+    and ground-truth entity labels, report
+
+    * ``reduction_ratio``   = 1 - |C| / (n·(n-1)/2) — how much of the
+      quadratic comparison space the blocker pruned;
+    * ``pairs_completeness`` = |C ∩ M| / |M| — recall: the fraction of true
+      matching pairs the blocker kept;
+    * ``pairs_quality``      = |C ∩ M| / |C| — precision: the fraction of
+      proposed pairs that are true matches;
+
+    plus their harmonic mean ``pq_pc_f1`` and the raw counts. Together with
+    :func:`cluster_metrics` (which scores the *clustering*), this closes the
+    evaluation loop: blocking_metrics says whether candidate generation is
+    the bottleneck, cluster_metrics whether scoring/clustering is.
+
+    ``candidates`` is (ref_a, ref_b) — extra columns ignored, each unordered
+    pair expected once (callers produce ref_a < ref_b; enforced here by a
+    canonical reorder + distinct so double-counted input can't inflate PQ).
+    ``truth`` is (id_col, truth_col), one row per record in the *blocked
+    universe* (n comes from it).
+
+    Scale shape: |M| and n reduce over truth cluster sizes (two groupBys of
+    the label table — no pair materialization); |C ∩ M| is two equi-joins of
+    the candidate set against the label table then a count. Every aggregate
+    is integer arithmetic; the only floats are three final divisions, so the
+    result is bit-identical across engines (DuckDB oracle `blocking_metrics`
+    in the driver contract).
+    """
+    t = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_t"))
+    sizes = t.groupBy("_t").agg(F.count(F.lit(1)).alias("c"))
+    totals = sizes.agg(
+        F.sum("c").alias("n_items"),
+        F.expr("sum((c * (c - 1)) DIV 2)").alias("true_matches"),
+    )
+
+    cand = (
+        candidates.select(
+            F.least("ref_a", "ref_b").alias("_a"),
+            F.greatest("ref_a", "ref_b").alias("_b"),
+        )
+        .where(F.col("_a") < F.col("_b"))
+        .dropDuplicates(["_a", "_b"])
+    )
+    labeled = (
+        cand.join(t.select(F.col("_id").alias("_a"), F.col("_t").alias("_ta")), "_a")
+        .join(t.select(F.col("_id").alias("_b"), F.col("_t").alias("_tb")), "_b")
+    )
+    cstats = labeled.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(
+            F.sum((F.col("_ta") == F.col("_tb")).cast("long")), F.lit(0)
+        ).alias("tp_candidates"),
+    )
+
+    one = totals.crossJoin(cstats)
+    total_pairs = (F.col("n_items") * (F.col("n_items") - 1) / 2).cast("long")
+    rr = F.when(
+        total_pairs > 0, F.lit(1.0) - F.col("n_candidates") / total_pairs
+    ).otherwise(F.lit(0.0))
+    pc = F.when(
+        F.col("true_matches") > 0, F.col("tp_candidates") / F.col("true_matches")
+    ).otherwise(F.lit(0.0))
+    pq = F.when(
+        F.col("n_candidates") > 0, F.col("tp_candidates") / F.col("n_candidates")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(pc + pq > 0, F.lit(2.0) * pc * pq / (pc + pq)).otherwise(F.lit(0.0))
+    return one.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        total_pairs.alias("total_pairs"),
+        F.col("true_matches").cast("long").alias("true_matches"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("tp_candidates").cast("long").alias("tp_candidates"),
+        F.round(rr, 6).alias("reduction_ratio"),
+        F.round(pc, 6).alias("pairs_completeness"),
+        F.round(pq, 6).alias("pairs_quality"),
+        F.round(f1, 6).alias("pq_pc_f1"),
+    )
+
+
 def cluster_metrics(
     assign: DataFrame,
     id_col: str = "ref",

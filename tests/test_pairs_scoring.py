@@ -395,3 +395,107 @@ def test_token_sort_ratio_matches_python_model(spark):
     for i, (a, b) in enumerate(cases):
         assert abs(got[i] - _tsr_py(a, b)) < 1e-12, (a, b)
     assert got[0] == 1.0 and got[3] == 1.0
+
+
+# -- meta-blocking -------------------------------------------------------------
+
+
+def _mb_edges(spark):
+    # hand graph: node weights chosen so WNP keeps a known subset
+    #   1-2 w=5, 1-3 w=1, 2-3 w=3, 3-4 w=1
+    rows = [(1, 2, 5), (1, 3, 1), (2, 3, 3), (3, 4, 1)]
+    return spark.createDataFrame(rows, "ref_a long, ref_b long, matches long")
+
+
+def test_meta_blocking_wnp_hand_case(spark):
+    from blurrily_spark.operators.pairs import meta_blocking_prune
+
+    # node means: 1 -> (5+1)/2 = 3; 2 -> (5+3)/2 = 4; 3 -> (1+3+1)/3 = 5/3;
+    # 4 -> 1. Union-WNP keeps: 1-2 (5 >= 3), 2-3 (3 >= 5/3 at node 3),
+    # 3-4 (1 >= 1 at node 4); drops 1-3 (1 < 3 and 1 < 5/3).
+    kept = meta_blocking_prune(_mb_edges(spark), scheme="wnp")
+    got = sorted((r["ref_a"], r["ref_b"]) for r in kept.collect())
+    assert got == [(1, 2), (2, 3), (3, 4)]
+    assert kept.columns == ["ref_a", "ref_b", "matches"]
+
+
+def test_meta_blocking_wep_hand_case(spark):
+    from blurrily_spark.operators.pairs import meta_blocking_prune
+
+    # global mean = 10/4 = 2.5 -> keep w in {5, 3}
+    kept = meta_blocking_prune(_mb_edges(spark), scheme="wep")
+    got = sorted((r["ref_a"], r["ref_b"]) for r in kept.collect())
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_meta_blocking_wnp_keeps_every_nodes_max_edge(spark):
+    # the union-WNP guarantee: no non-isolated node is orphaned, because
+    # each node's max-weight incident edge clears its own mean (>= ties keep)
+    from blurrily_spark.operators.pairs import meta_blocking_prune
+
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    edges = candidate_pairs(postings)
+    kept = meta_blocking_prune(edges, scheme="wnp")
+    nodes_before = {
+        n for r in edges.collect() for n in (r["ref_a"], r["ref_b"])
+    }
+    nodes_after = {
+        n for r in kept.collect() for n in (r["ref_a"], r["ref_b"])
+    }
+    assert nodes_after == nodes_before
+    # and pruning is a subset of the input edge set
+    before = {(r["ref_a"], r["ref_b"]) for r in edges.collect()}
+    after = {(r["ref_a"], r["ref_b"]) for r in kept.collect()}
+    assert after <= before
+
+
+def test_meta_blocking_rejects_unknown_scheme(spark):
+    import pytest as _pytest
+
+    from blurrily_spark.operators.pairs import meta_blocking_prune
+
+    with _pytest.raises(ValueError, match="scheme"):
+        meta_blocking_prune(_mb_edges(spark), scheme="cnp")
+
+
+# -- blocking metrics ----------------------------------------------------------
+
+
+def test_blocking_metrics_hand_case(spark):
+    from blurrily_spark.quality import blocking_metrics
+
+    # 6 records in 3 true entities: {1,2,3}, {4,5}, {6}
+    # true matches M = 3 + 1 = 4; total pairs = 15
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)],
+        "ref long, entity_true long",
+    )
+    # blocker proposes 5 pairs, 3 of them true ((1,2), (2,3), (4,5));
+    # (2,1) duplicates (1,2) reversed and must not double-count
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (4, 5), (1, 6), (3, 4)],
+        "ref_a long, ref_b long",
+    )
+    row = blocking_metrics(cand, truth).collect()[0]
+    assert row["n_items"] == 6
+    assert row["total_pairs"] == 15
+    assert row["true_matches"] == 4
+    assert row["n_candidates"] == 5
+    assert row["tp_candidates"] == 3
+    assert row["reduction_ratio"] == round(1 - 5 / 15, 6)
+    assert row["pairs_completeness"] == 0.75
+    assert row["pairs_quality"] == 0.6
+    pc, pq = 0.75, 0.6
+    assert row["pq_pc_f1"] == round(2 * pc * pq / (pc + pq), 6)
+
+
+def test_blocking_metrics_empty_candidates(spark):
+    from blurrily_spark.quality import blocking_metrics
+
+    truth = spark.createDataFrame([(1, 10), (2, 10)], "ref long, entity_true long")
+    cand = spark.createDataFrame([], "ref_a long, ref_b long")
+    row = blocking_metrics(cand, truth).collect()[0]
+    assert row["n_candidates"] == 0
+    assert row["pairs_quality"] == 0.0
+    assert row["pairs_completeness"] == 0.0
+    assert row["reduction_ratio"] == 1.0

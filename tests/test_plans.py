@@ -64,6 +64,8 @@ NO_PYTHON_QUERIES = [
     "fs_estimate_mu",     # tagged explode + groupBy, no Python
     "cluster_metrics",    # contingency-table aggregates, scaled-int math
     "incremental_entities",
+    "meta_blocking",      # node-stat groupBy + equi-joins + filter, pure SQL
+    "blocking_metrics",   # truth-table aggregates, integer math
 ]
 
 
