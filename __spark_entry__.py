@@ -29,10 +29,17 @@ from blurrily_spark.operators.cluster import (
 from blurrily_spark.operators.events import session_stats, sessionize
 from blurrily_spark.operators.find import find
 from blurrily_spark.operators.linkage import FieldModel, estimate_m_u, fs_score
-from blurrily_spark.quality import blocking_metrics, cluster_metrics
+from blurrily_spark.quality import (
+    blocking_metrics,
+    cluster_metrics,
+    cluster_stats,
+    threshold_sweep,
+)
 from blurrily_spark.operators.index import build_postings, delete_refs, stats
 from blurrily_spark.operators.pairs import (
+    block_filtering,
     candidate_pairs,
+    token_blocking_pairs,
     meta_blocking_prune,
     sorted_neighborhood_pairs,
     with_jaccard,
@@ -49,6 +56,8 @@ NEEDLES = [
 ]
 PAIR_SUBSET = 100  # doc_id < 100 for quadratic pair oracles
 CC_THRESHOLD = 0.6
+SWEEP_THRESHOLDS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+TOKEN_BLOCK_MAX_DF = 80
 DUP_OFFSET = 1_000_000  # synthetic near-dup ids = doc_id + offset
 NGRAM_THRESHOLD = 0.5
 NEARDUP_EST_J = 0.5
@@ -698,6 +707,53 @@ def q_blocking_metrics(spark, sf_dir):
     return blocking_metrics(cand, truth)
 
 
+def q_block_filtering(spark, sf_dir):
+    # block filtering (Papadakis EDBT 2016): each record sheds its most
+    # crowded blocking keys (keeps the smallest 60% by df) before pairing;
+    # returned as the candidate pairs the filtered postings generate so the
+    # pruning is visible end-to-end
+    p = block_filtering(_postings(spark, sf_dir, subset=True), ratio=0.6)
+    return candidate_pairs(p).select("ref_a", "ref_b", "matches")
+
+
+def q_threshold_sweep(spark, sf_dir):
+    # the jaccard_threshold calibration curve: P/R/F1 of `jaccard >= t` per
+    # threshold against the planted-dup truth -- one pass over the scored
+    # pairs (conditional sums, no explode), one row per threshold
+    docs = _docs_with_dups(spark, sf_dir)
+    p = build_postings(
+        docs, text_col="text", ref_col="doc_id", weight_col=None
+    ).cache()
+    scored = with_jaccard(candidate_pairs(p), p).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("ref"),
+        (F.col("doc_id") % DUP_OFFSET).alias("entity_true"),
+    )
+    return threshold_sweep(scored, truth, SWEEP_THRESHOLDS)
+
+
+def q_cluster_stats(spark, sf_dir):
+    # over-merge diagnostics for transitive closure: per-entity size,
+    # internal-edge count, and density (chain-shaped merges show density
+    # far below 1.0; genuine duplicate groups are near-complete)
+    edges = q_match_edges(spark, sf_dir).cache()
+    assign = connected_components(edges)
+    return cluster_stats(assign, edges)
+
+
+def q_token_blocking(spark, sf_dir):
+    # token blocking (the meta-blocking literature's baseline): pairs
+    # sharing >= 3 distinct normalized words, with the hottest blocks purged
+    # (df > 80 of the 100-doc subset) -- the synthetic corpus has a tiny,
+    # hot vocabulary, so the purge threshold sits above the median df to
+    # keep the oracle check non-vacuous while still exercising the purge
+    return token_blocking_pairs(
+        _docs_subset(spark, sf_dir), max_df=TOKEN_BLOCK_MAX_DF, min_matches=3
+    )
+
+
 def q_incremental_entities(spark, sf_dir):
     # delta folding: entities from strong edges (j >= 0.7) updated with the
     # 0.6..0.7 band only -- result provably equals full CC at 0.6 (the
@@ -849,6 +905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_metrics": q_cluster_metrics,
         "meta_blocking": q_meta_blocking,
         "blocking_metrics": q_blocking_metrics,
+        "block_filtering": q_block_filtering,
+        "token_blocking": q_token_blocking,
+        "threshold_sweep": q_threshold_sweep,
+        "cluster_stats": q_cluster_stats,
         "incremental_entities": q_incremental_entities,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
@@ -1704,6 +1764,97 @@ SELECT n_items, total_pairs, true_matches, n_candidates, tp_candidates,
        round({_pq}, 6) AS pairs_quality,
        round({_f1_sql(_pc, _pq)}, 6) AS pq_pc_f1
 FROM agg"""
+
+    # --- block_filtering: each record keeps its ceil(0.6 * |blocks|)
+    # smallest blocks (df asc, trigram asc -- a total order per record),
+    # then pairs are generated from the filtered postings
+    out["block_filtering"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+bsz AS (SELECT trigram, count(*) AS df FROM hay_tg GROUP BY trigram),
+rk AS (
+  SELECT t.ref, t.trigram,
+         row_number() OVER (PARTITION BY t.ref ORDER BY b.df, t.trigram) AS rn,
+         count(*) OVER (PARTITION BY t.ref) AS cnt
+  FROM hay_tg t JOIN bsz b USING (trigram)
+),
+filt AS (SELECT ref, trigram FROM rk WHERE rn <= CAST(ceil(0.6 * cnt) AS BIGINT))
+SELECT a.ref AS ref_a, b.ref AS ref_b, count(*) AS matches
+FROM filt a JOIN filt b ON a.trigram = b.trigram AND a.ref < b.ref
+GROUP BY 1, 2"""
+
+    # --- token_blocking: pairs sharing >= 2 distinct normalized tokens,
+    # stopword blocks purged at df > TOKEN_BLOCK_MAX_DF
+    out["token_blocking"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+ws AS (SELECT ref, string_split(norm, ' ') AS w FROM hay_norm),
+tok AS (SELECT DISTINCT ref, unnest(w) AS token FROM ws),
+tk AS (SELECT ref, token FROM tok WHERE token <> ''),
+keep AS (SELECT token FROM tk GROUP BY token HAVING count(*) <= {TOKEN_BLOCK_MAX_DF}),
+ft AS (SELECT tk.ref, tk.token FROM tk JOIN keep USING (token))
+SELECT a.ref AS ref_a, b.ref AS ref_b, CAST(count(*) AS BIGINT) AS matches
+FROM ft a JOIN ft b ON a.token = b.token AND a.ref < b.ref
+GROUP BY 1, 2
+HAVING count(*) >= 3"""
+
+    # --- threshold_sweep: P/R/F1 of `jaccard >= t` per threshold vs the
+    # planted-dup truth; integer conditional sums, floats only in the final
+    # divisions (jaccard pre-rounded to 6 on both engines, as in match_edges)
+    _sw_prec = "CASE WHEN kept_pairs > 0 THEN tp / kept_pairs ELSE 0.0 END"
+    _sw_rec = "CASE WHEN true_matches > 0 THEN tp / true_matches ELSE 0.0 END"
+    _sw_list = ", ".join(repr(t) for t in SWEEP_THRESHOLDS)
+    out["threshold_sweep"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')},
+truth AS (SELECT ref AS id, ref % {DUP_OFFSET} AS t FROM hay_norm),
+tot AS (
+  SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS true_matches
+  FROM (SELECT count(*) AS c FROM truth GROUP BY t)
+),
+lab AS (
+  SELECT p.jaccard AS s, CASE WHEN ta.t = tb.t THEN 1 ELSE 0 END AS m
+  FROM pairs p JOIN truth ta ON ta.id = p.ref_a JOIN truth tb ON tb.id = p.ref_b
+),
+th AS (SELECT unnest([{_sw_list}]) AS threshold),
+agg AS (
+  SELECT threshold,
+         CAST(coalesce(sum(CASE WHEN s >= threshold THEN 1 END), 0) AS BIGINT) AS kept_pairs,
+         CAST(coalesce(sum(CASE WHEN s >= threshold THEN m END), 0) AS BIGINT) AS tp
+  FROM th LEFT JOIN lab ON TRUE
+  GROUP BY threshold
+)
+SELECT CAST(threshold AS DOUBLE) AS threshold, kept_pairs, tp,
+       kept_pairs - tp AS fp, true_matches - tp AS fn,
+       round({_sw_prec}, 6) AS "precision",
+       round({_sw_rec}, 6) AS recall,
+       round({_f1_sql(_sw_prec, _sw_rec)}, 6) AS f1
+FROM agg CROSS JOIN tot"""
+
+    # --- cluster_stats: per-entity size / internal edges / density over
+    # the same thresholded match-edge graph the CC oracle walks
+    out["cluster_stats"] = f"""WITH RECURSIVE {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')},
+edges AS (
+  SELECT ref_a AS src, ref_b AS dst FROM pairs WHERE jaccard >= {CC_THRESHOLD}
+),
+{oracle.cc_walk_ctes('edges')},
+assign AS (
+  SELECT node AS ref, CAST(min(label) AS BIGINT) AS entity_id
+  FROM walk GROUP BY node
+),
+sizes AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS size FROM assign GROUP BY 1),
+ec AS (
+  SELECT a1.entity_id, CAST(count(*) AS BIGINT) AS n_edges
+  FROM edges e
+  JOIN assign a1 ON a1.ref = e.src
+  JOIN assign a2 ON a2.ref = e.dst
+  WHERE a1.entity_id = a2.entity_id
+  GROUP BY 1
+)
+SELECT s.entity_id, s.size, coalesce(ec.n_edges, CAST(0 AS BIGINT)) AS n_edges,
+       round(CASE WHEN s.size > 1
+             THEN coalesce(ec.n_edges, 0) / (s.size * (s.size - 1) / 2.0)
+             ELSE 0.0 END, 6) AS density
+FROM sizes s LEFT JOIN ec ON ec.entity_id = s.entity_id"""
 
     sess = f"""sess AS (
   SELECT event_id, user_id, event_type, value, us, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -240,6 +240,108 @@ def with_jaccard(pairs: DataFrame, postings: DataFrame) -> DataFrame:
     )
 
 
+# -- token blocking ------------------------------------------------------------
+
+
+def token_blocking_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Token blocking: candidate pairs sharing >= ``min_matches`` words.
+
+    The schema-agnostic baseline blocker of the meta-blocking literature
+    (Papadakis et al.: every record pair co-occurring in at least one
+    token-keyed block is a candidate): records are normalized with the same
+    S1 pipeline as trigram blocking, split on whitespace, and paired on
+    shared DISTINCT tokens -- ``matches`` = shared-token count, directly
+    comparable to trigram ``matches`` and usable as a CBS weight for
+    :func:`meta_blocking_prune`. Higher per-block recall and far hotter
+    blocks than trigram keys (a stopword's block is the whole corpus), so
+    the ``max_df`` purge is load-bearing here, not optional hygiene.
+
+    Scale shape: one token-keyed equi-self-join, same class as
+    :func:`candidate_pairs`; the df purge rides one group-by of the keyed
+    projection. Unlike trigram keys the token vocabulary is unbounded, so
+    the purge list is NOT forced to broadcast -- Spark picks the join
+    strategy from its actual size.
+    """
+    from blurrily_spark.functions.tokenizer import with_normalized
+
+    toks = (
+        with_normalized(docs, text_col, "_norm", adaptive="auto")
+        .select(
+            F.col(id_col).cast("long").alias("ref"),
+            F.explode(F.split(F.col("_norm"), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError(f"max_df must be >= 2, got {max_df}")
+        keep = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("token")
+        )
+        toks = toks.join(keep, "token")
+    a = toks.select("token", F.col("ref").alias("ref_a"))
+    b = toks.select("token", F.col("ref").alias("ref_b"))
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("ref_a") < F.col("ref_b"))
+        .groupBy("ref_a", "ref_b")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    if min_matches > 1:
+        pairs = pairs.where(F.col("matches") >= min_matches)
+    return pairs
+
+
+# -- block filtering (per-record block cleaning) -------------------------------
+
+
+def block_filtering(postings: DataFrame, ratio: float = 0.8) -> DataFrame:
+    """Keep each record's smallest ``ceil(ratio * |blocks|)`` blocks.
+
+    Block filtering (Papadakis, Papastefanatos, Palpanas & Koubarakis,
+    "Scaling Entity Resolution to Large, Heterogeneous Data with Enhanced
+    Meta-blocking", EDBT 2016 §3): before any pairing, each record retains
+    only the fraction ``ratio`` of its blocking keys with the SMALLEST
+    document frequency -- its most discriminative blocks. This is the
+    per-record complement to the global ``max_df`` cap (block purging):
+    purging drops a stopword-like block for everyone, filtering lets a
+    record with many keys shed its crowded ones while a short record keeps
+    all it has. Output is a filtered postings DataFrame (same columns), fed
+    straight into :func:`candidate_pairs` / :func:`meta_blocking_prune`.
+
+    Distributed shape: block sizes are the bounded <= 28^3-row
+    :func:`trigram_df_counts` aggregate, broadcast back onto postings; the
+    per-record rank is a window PARTITIONED BY ref (a plain equi-key
+    shuffle -- no single-task window), ordered by ``(df, trigram)`` which
+    is a total order because postings are per-record deduped, so the kept
+    set is deterministic and bit-identical to the SQL oracle.
+    """
+    if not (0.0 < float(ratio) <= 1.0):
+        raise ValueError(f"ratio must be in (0, 1], got {ratio!r}")
+    from pyspark.sql.window import Window
+
+    sizes = trigram_df_counts(postings.select("trigram"))
+    p = postings.join(F.broadcast(sizes), "trigram")
+    by_ref = Window.partitionBy("ref")
+    ordered = by_ref.orderBy(F.col("df").asc(), F.col("trigram").asc())
+    return (
+        p.withColumn("_rn", F.row_number().over(ordered))
+        .withColumn("_cnt", F.count(F.lit(1)).over(by_ref))
+        .where(F.col("_rn") <= F.ceil(F.lit(float(ratio)) * F.col("_cnt")))
+        .select(*postings.columns)
+    )
+
+
 # -- meta-blocking (candidate-graph pruning) -----------------------------------
 #
 # Papadakis et al., "Meta-Blocking: Taking Entity Resolution to the Next

@@ -157,6 +157,143 @@ def blocking_metrics(
     )
 
 
+def threshold_sweep(
+    scored: DataFrame,
+    truth: DataFrame,
+    thresholds: list[float],
+    score_col: str = "jaccard",
+    id_col: str = "ref",
+    truth_col: str = "entity_true",
+) -> DataFrame:
+    """Match-decision P/R/F1 at each threshold -- ONE row per threshold.
+
+    The calibration tool for the ``jaccard_threshold`` knob every linkage
+    pipeline exposes: given the blocker's scored candidate pairs and
+    ground-truth entity labels, report per threshold t the retained-pair
+    count, TP / FP / FN, and pairwise precision / recall / F1 of the
+    decision ``score >= t``. FN counts ALL true matching pairs the decision
+    misses -- including those the blocker never proposed -- so recall here
+    is end-to-end (blocking loss included), consistent with
+    :func:`blocking_metrics`' pairs-completeness.
+
+    ``scored`` must carry each unordered candidate pair once (the contract
+    every blocker in this package already meets); ``truth`` is one row per
+    record with its true entity label.
+
+    Scale shape: ONE pass over the scored pairs -- per threshold a pair of
+    conditional integer sums in a single map-side-combined aggregation to
+    one row (no explode: a T-threshold sweep does NOT replicate the pair
+    set T times) -- then a driver-tiny ``stack`` unpivot to T rows. |M|
+    reduces over truth cluster sizes exactly as in :func:`blocking_metrics`.
+    All counts are integer-exact; floats appear only in the final
+    divisions, so the result is bit-identical across engines.
+    """
+    ts = sorted({float(t) for t in thresholds})
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    t = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_t"))
+    totals = (
+        t.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("sum((c * (c - 1)) DIV 2)").alias("true_matches"))
+    )
+
+    lab = (
+        scored.select(
+            F.col("ref_a").alias("_a"),
+            F.col("ref_b").alias("_b"),
+            F.col(score_col).alias("_s"),
+        )
+        .join(t.select(F.col("_id").alias("_a"), F.col("_t").alias("_ta")), "_a")
+        .join(t.select(F.col("_id").alias("_b"), F.col("_t").alias("_tb")), "_b")
+        .select("_s", (F.col("_ta") == F.col("_tb")).cast("long").alias("_m"))
+    )
+    aggs = []
+    for i, th in enumerate(ts):
+        keep = (F.col("_s") >= F.lit(th)).cast("long")
+        aggs.append(F.coalesce(F.sum(keep), F.lit(0)).alias(f"_k{i}"))
+        aggs.append(F.coalesce(F.sum(keep * F.col("_m")), F.lit(0)).alias(f"_tp{i}"))
+    wide = lab.agg(*aggs).crossJoin(F.broadcast(totals))
+
+    stack = ", ".join(
+        f"CAST({th!r} AS DOUBLE), _k{i}, _tp{i}" for i, th in enumerate(ts)
+    )
+    long = wide.selectExpr(
+        "true_matches",
+        f"stack({len(ts)}, {stack}) AS (threshold, kept_pairs, tp)",
+    )
+    prec = F.when(
+        F.col("kept_pairs") > 0, F.col("tp") / F.col("kept_pairs")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("true_matches") > 0, F.col("tp") / F.col("true_matches")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return long.select(
+        F.col("threshold"),
+        F.col("kept_pairs").cast("long").alias("kept_pairs"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("kept_pairs") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("true_matches") - F.col("tp")).cast("long").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def cluster_stats(
+    assign: DataFrame,
+    edges: DataFrame,
+    id_col: str = "ref",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Per-cluster size / internal-edge count / density diagnostics.
+
+    The over-merge detector for transitive closure: connected components
+    happily chain A-B-C-...-Z into one entity through weak links, and at
+    web scale one such "black hole" cluster can swallow millions of
+    records. Density = internal edges / complete-graph edges exposes it --
+    a genuine duplicate group is near-complete (density ~ 1.0) because
+    every member matches every other, while a transitive chain over k
+    records has only ~k edges out of k*(k-1)/2 (density -> 0). Returns one
+    row per cluster: ``(entity_id, size, n_edges, density)``.
+
+    Scale shape: sizes are one groupBy of the assignment; internal-edge
+    counts are two equi-joins of the edge list against the assignment (the
+    same class as the CC iteration itself) plus one groupBy; the final
+    left join fills edge-less clusters with 0. Nothing is materialized per
+    pair beyond the edge list the caller already has. Singleton clusters
+    report density 0.0.
+    """
+    a = assign.select(
+        F.col(id_col).alias("_id"), F.col(entity_col).alias("entity_id")
+    )
+    sizes = a.groupBy("entity_id").agg(F.count(F.lit(1)).alias("size"))
+    ec = (
+        edges.select("src", "dst")
+        .join(a.select(F.col("_id").alias("src"), F.col("entity_id").alias("_ea")), "src")
+        .join(a.select(F.col("_id").alias("dst"), F.col("entity_id").alias("_eb")), "dst")
+        .where(F.col("_ea") == F.col("_eb"))
+        .groupBy(F.col("_ea").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    out = sizes.join(ec, "entity_id", "left").withColumn(
+        "n_edges", F.coalesce(F.col("n_edges"), F.lit(0))
+    )
+    density = F.when(
+        F.col("size") > 1,
+        F.col("n_edges") / (F.col("size") * (F.col("size") - 1) / F.lit(2.0)),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "entity_id",
+        F.col("size").cast("long").alias("size"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round(density, 6).alias("density"),
+    )
+
+
 def cluster_metrics(
     assign: DataFrame,
     id_col: str = "ref",

@@ -499,3 +499,234 @@ def test_blocking_metrics_empty_candidates(spark):
     assert row["pairs_quality"] == 0.0
     assert row["pairs_completeness"] == 0.0
     assert row["reduction_ratio"] == 1.0
+
+
+# -- block filtering -----------------------------------------------------------
+
+
+def test_block_filtering_hand_case(spark):
+    # postings with known per-block dfs:
+    #   block 10 df=3, block 20 df=2, block 30 df=1, block 40 df=1
+    # record 1 has blocks {10, 20, 30, 40}; at ratio=0.5 it keeps
+    # ceil(0.5*4)=2 smallest-(df, trigram): 30 (df=1), 40 (df=1)
+    # record 2 has {10, 20}; keeps ceil(0.5*2)=1: 20 (df=2 < 10's df=3... no:
+    # order is df asc -> 20 (df=2) before 10 (df=3)
+    # record 3 has {10}; keeps ceil(0.5*1)=1: 10
+    from blurrily_spark.operators.pairs import block_filtering
+
+    rows = [
+        (10, 1), (20, 1), (30, 1), (40, 1),
+        (10, 2), (20, 2),
+        (10, 3),
+    ]
+    p = spark.createDataFrame(rows, "trigram int, ref long")
+    kept = {(r["ref"], r["trigram"]) for r in block_filtering(p, 0.5).collect()}
+    assert kept == {(1, 30), (1, 40), (2, 20), (3, 10)}
+
+
+def test_block_filtering_ratio_one_is_identity(spark):
+    from blurrily_spark.operators.pairs import block_filtering
+
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    before = {(r["ref"], r["trigram"]) for r in postings.collect()}
+    after = {
+        (r["ref"], r["trigram"]) for r in block_filtering(postings, 1.0).collect()
+    }
+    assert after == before
+    # and columns pass through untouched
+    assert block_filtering(postings, 0.5).columns == postings.columns
+
+
+def test_block_filtering_is_subset_and_deterministic(spark):
+    from blurrily_spark.operators.pairs import block_filtering
+
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    a = {(r["ref"], r["trigram"]) for r in block_filtering(postings, 0.6).collect()}
+    b = {(r["ref"], r["trigram"]) for r in block_filtering(postings, 0.6).collect()}
+    full = {(r["ref"], r["trigram"]) for r in postings.collect()}
+    assert a == b
+    assert a < full
+
+
+def test_block_filtering_rejects_bad_ratio(spark):
+    import pytest as _pytest
+
+    from blurrily_spark.operators.pairs import block_filtering
+
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="ratio"):
+            block_filtering(postings, bad)
+
+
+# -- threshold sweep -----------------------------------------------------------
+
+
+def test_threshold_sweep_hand_case(spark):
+    from blurrily_spark.quality import threshold_sweep
+
+    # truth: {1,2,3} one entity, {4,5} another -> M = 3 + 1 = 4
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)],
+        "ref long, entity_true long",
+    )
+    # scored candidates: (1,2)=0.9 T, (2,3)=0.5 T, (4,5)=0.3 T, (1,4)=0.6 F
+    scored = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.5), (4, 5, 0.3), (1, 4, 0.6)],
+        "ref_a long, ref_b long, jaccard double",
+    )
+    rows = {
+        r["threshold"]: r
+        for r in threshold_sweep(scored, truth, [0.4, 0.7]).collect()
+    }
+    assert set(rows) == {0.4, 0.7}
+    r4 = rows[0.4]  # keeps 0.9 T, 0.5 T, 0.6 F -> tp=2 fp=1 fn=2
+    assert (r4["kept_pairs"], r4["tp"], r4["fp"], r4["fn"]) == (3, 2, 1, 2)
+    assert r4["precision"] == round(2 / 3, 6)
+    assert r4["recall"] == 0.5
+    r7 = rows[0.7]  # keeps 0.9 T only -> tp=1 fp=0 fn=3
+    assert (r7["kept_pairs"], r7["tp"], r7["fp"], r7["fn"]) == (1, 1, 0, 3)
+    assert r7["precision"] == 1.0
+    assert r7["recall"] == 0.25
+    f1 = 2 * 1.0 * 0.25 / 1.25
+    assert r7["f1"] == round(f1, 6)
+
+
+def test_threshold_sweep_empty_thresholds_raises(spark):
+    import pytest as _pytest
+
+    from blurrily_spark.quality import threshold_sweep
+
+    truth = spark.createDataFrame([(1, 10)], "ref long, entity_true long")
+    scored = spark.createDataFrame([], "ref_a long, ref_b long, jaccard double")
+    with _pytest.raises(ValueError, match="thresholds"):
+        threshold_sweep(scored, truth, [])
+
+
+def test_threshold_sweep_single_aggregation_no_explode(spark):
+    # the sweep must be ONE pass over the pairs: the per-threshold counts
+    # ride a single Aggregate (conditional sums), and the stack unpivot's
+    # Generate sits ABOVE it -- unpivoting the one aggregated row, never
+    # replicating the pair set T times
+    from blurrily_spark.quality import threshold_sweep
+
+    truth = spark.createDataFrame([(1, 10), (2, 10)], "ref long, entity_true long")
+    scored = spark.createDataFrame(
+        [(1, 2, 0.5)], "ref_a long, ref_b long, jaccard double"
+    )
+    plan = (
+        threshold_sweep(scored, truth, [0.1 * i for i in range(1, 10)])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the tree prints top-down: the (only) Generate precedes every Aggregate
+    assert plan.count("Generate") == 1
+    assert plan.index("Generate") < plan.index("Aggregate")
+
+
+# -- cluster stats -------------------------------------------------------------
+
+
+def test_cluster_stats_hand_case(spark):
+    from blurrily_spark.quality import cluster_stats
+
+    # cluster 1 = {1,2,3} complete triangle (density 1.0)
+    # cluster 4 = {4,5,6} chain 4-5-6 (2 edges of 3 -> density 2/3)
+    # cluster 7 = {7} singleton (density 0.0)
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7)],
+        "ref long, entity_id long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (5, 6)], "src long, dst long"
+    )
+    rows = {r["entity_id"]: r for r in cluster_stats(assign, edges).collect()}
+    assert set(rows) == {1, 4, 7}
+    assert (rows[1]["size"], rows[1]["n_edges"], rows[1]["density"]) == (3, 3, 1.0)
+    assert (rows[4]["size"], rows[4]["n_edges"]) == (3, 2)
+    assert rows[4]["density"] == round(2 / 3, 6)
+    assert (rows[7]["size"], rows[7]["n_edges"], rows[7]["density"]) == (1, 0, 0.0)
+
+
+def test_cluster_stats_ignores_cross_cluster_edges(spark):
+    from blurrily_spark.quality import cluster_stats
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "ref long, entity_id long"
+    )
+    # edge 2-3 crosses clusters and must not count anywhere
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = {r["entity_id"]: r for r in cluster_stats(assign, edges).collect()}
+    assert rows[1]["n_edges"] == 1
+    assert rows[3]["n_edges"] == 0
+
+
+# -- token blocking ------------------------------------------------------------
+
+
+def test_token_blocking_hand_case(spark):
+    from blurrily_spark.operators.pairs import token_blocking_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red cat sat"),
+            (2, "red cat ran"),
+            (3, "blue dog sat"),
+            (4, "green bird"),
+        ],
+        "doc_id long, text string",
+    )
+    # shared distinct tokens: (1,2) {red,cat}=2; (1,3) {sat}=1; others 0
+    got = {
+        (r["ref_a"], r["ref_b"]): r["matches"]
+        for r in token_blocking_pairs(docs).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1}
+    # min_matches thresholds the count
+    got2 = {
+        (r["ref_a"], r["ref_b"])
+        for r in token_blocking_pairs(docs, min_matches=2).collect()
+    }
+    assert got2 == {(1, 2)}
+
+
+def test_token_blocking_dedupes_repeated_tokens(spark):
+    from blurrily_spark.operators.pairs import token_blocking_pairs
+
+    # "cat cat cat" shares ONE distinct token with "cat", not three
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat"), (2, "cat")], "doc_id long, text string"
+    )
+    rows = token_blocking_pairs(docs).collect()
+    assert [(r["ref_a"], r["ref_b"], r["matches"]) for r in rows] == [(1, 2, 1)]
+
+
+def test_token_blocking_max_df_purges_stopwords(spark):
+    from blurrily_spark.operators.pairs import token_blocking_pairs
+
+    # "the" appears in all 3 docs -> purged at max_df=2; only (1,2) share "cat"
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the cat"), (3, "the dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["ref_a"], r["ref_b"]): r["matches"]
+        for r in token_blocking_pairs(docs, max_df=2).collect()
+    }
+    assert got == {(1, 2): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_df"):
+        token_blocking_pairs(docs, max_df=1)
+
+
+def test_token_blocking_normalizes_before_splitting(spark):
+    from blurrily_spark.operators.pairs import token_blocking_pairs
+
+    # punctuation/case fold through the S1 pipeline: "Red, CAT!" == "red cat"
+    docs = spark.createDataFrame(
+        [(1, "Red, CAT!"), (2, "red cat")], "doc_id long, text string"
+    )
+    rows = token_blocking_pairs(docs).collect()
+    assert [(r["ref_a"], r["ref_b"], r["matches"]) for r in rows] == [(1, 2, 2)]

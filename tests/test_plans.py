@@ -66,6 +66,10 @@ NO_PYTHON_QUERIES = [
     "incremental_entities",
     "meta_blocking",      # node-stat groupBy + equi-joins + filter, pure SQL
     "blocking_metrics",   # truth-table aggregates, integer math
+    "block_filtering",    # broadcast df counts + per-ref window, pure SQL
+    "threshold_sweep",    # one conditional-sum aggregate + stack unpivot
+    "cluster_stats",      # CC assignment + edge-count joins, no Python
+    "token_blocking",     # adaptive normalize + token self-join, pure SQL
 ]
 
 
