@@ -44,7 +44,7 @@ from blurrily_spark.operators.pairs import (
     sorted_neighborhood_pairs,
     with_jaccard,
 )
-from blurrily_spark.operators.scoring import match_edges
+from blurrily_spark.operators.scoring import match_edges, with_edit_distance
 
 # Fixed query workload for FIND (typos over the documents vocabulary).
 NEEDLES = [
@@ -58,6 +58,7 @@ PAIR_SUBSET = 100  # doc_id < 100 for quadratic pair oracles
 CC_THRESHOLD = 0.6
 SWEEP_THRESHOLDS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
 TOKEN_BLOCK_MAX_DF = 80
+EDIT_MAX = 40
 DUP_OFFSET = 1_000_000  # synthetic near-dup ids = doc_id + offset
 NGRAM_THRESHOLD = 0.5
 NEARDUP_EST_J = 0.5
@@ -743,6 +744,24 @@ def q_cluster_stats(spark, sf_dir):
     return cluster_stats(assign, edges)
 
 
+def q_edit_distance_join(spark, sf_dir):
+    # the classic edit-distance similarity join, blocking-first: trigram
+    # candidates over the planted-dup corpus, then a length-gap prefilter
+    # (free, sound: edit distance >= length difference) and the JVM's
+    # THRESHOLDED levenshtein (banded DP, early exit past k) -- truncated
+    # dups sit within k=EDIT_MAX of their base doc, random pairs do not
+    from blurrily_spark.functions.tokenizer import with_normalized
+
+    docs = _docs_with_dups(spark, sf_dir)
+    p = build_postings(docs, text_col="text", ref_col="doc_id", weight_col=None)
+    cand = candidate_pairs(p, keys_only=True)
+    recs = with_normalized(docs, "text", "norm", adaptive="auto").select(
+        F.col("doc_id").alias("ref"), "norm"
+    )
+    out = with_edit_distance(cand, recs, max_dist=EDIT_MAX)
+    return out.select("ref_a", "ref_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+
+
 def q_token_blocking(spark, sf_dir):
     # token blocking (the meta-blocking literature's baseline): pairs
     # sharing >= 3 distinct normalized words, with the hottest blocks purged
@@ -907,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_metrics": q_blocking_metrics,
         "block_filtering": q_block_filtering,
         "token_blocking": q_token_blocking,
+        "edit_distance_join": q_edit_distance_join,
         "threshold_sweep": q_threshold_sweep,
         "cluster_stats": q_cluster_stats,
         "incremental_entities": q_incremental_entities,
@@ -1794,6 +1814,21 @@ SELECT a.ref AS ref_a, b.ref AS ref_b, CAST(count(*) AS BIGINT) AS matches
 FROM ft a JOIN ft b ON a.token = b.token AND a.ref < b.ref
 GROUP BY 1, 2
 HAVING count(*) >= 3"""
+
+
+    # --- edit_distance_join: trigram candidates + length-gap prefilter +
+    # exact levenshtein <= EDIT_MAX; both engines' levenshtein is the
+    # standard unit-cost edit distance, so counts are integer-exact
+    out["edit_distance_join"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')}
+SELECT p.ref_a, p.ref_b,
+       CAST(levenshtein(na.norm, nb.norm) AS INTEGER) AS edit_dist
+FROM rawpairs p
+JOIN hay_norm na ON na.ref = p.ref_a
+JOIN hay_norm nb ON nb.ref = p.ref_b
+WHERE abs(length(na.norm) - length(nb.norm)) <= {EDIT_MAX}
+  AND levenshtein(na.norm, nb.norm) <= {EDIT_MAX}"""
 
     # --- threshold_sweep: P/R/F1 of `jaccard >= t` per threshold vs the
     # planted-dup truth; integer conditional sums, floats only in the final

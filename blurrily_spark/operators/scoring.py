@@ -120,6 +120,55 @@ def score_pairs(
     return out
 
 
+def with_edit_distance(
+    pairs: DataFrame,
+    records: DataFrame,
+    max_dist: int | None = None,
+    text_col: str = "norm",
+) -> DataFrame:
+    """Attach the exact Levenshtein distance to candidate pairs.
+
+    The classic edit-distance similarity join, expressed the way every
+    other scorer here is: blocking proposes candidates, this rescored them
+    exactly. ``records`` is the ``(ref, <text_col>)`` side table (same
+    contract as :func:`score_pairs`). Adds an ``edit_dist`` int column;
+    with ``max_dist`` set, pairs farther apart are dropped.
+
+    Scale shape: two equi-joins to fetch the texts, then per-row JVM work
+    -- no extra shuffle. With ``max_dist`` the plan applies two sound
+    prunes in cost order: the length-difference filter
+    ``||a| - |b|| <= k`` is free (edit distance is bounded below by the
+    length gap) and discards most non-matching pairs before any DP; the
+    remaining pairs run the JVM's THRESHOLDED Levenshtein
+    (``levenshtein(a, b, k)``, early exit, O(k * min-len) band instead of
+    the full O(|a| * |b|) table) which returns -1 past k -- the final
+    ``>= 0`` filter keeps exactly the within-k pairs. Both engines'
+    ``levenshtein`` is the standard unit-cost edit distance, so the result
+    is integer-exact across engines.
+    """
+    if max_dist is not None and max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    texts = records.select(F.col("ref"), F.col(text_col).alias("_t"))
+    out = pairs.join(
+        texts.select(F.col("ref").alias("ref_a"), F.col("_t").alias("_ta")), "ref_a"
+    ).join(
+        texts.select(F.col("ref").alias("ref_b"), F.col("_t").alias("_tb")), "ref_b"
+    )
+    if max_dist is None:
+        out = out.withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
+    else:
+        out = (
+            out.where(
+                F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(int(max_dist))
+            )
+            .withColumn(
+                "edit_dist", F.levenshtein(F.col("_ta"), F.col("_tb"), int(max_dist))
+            )
+            .where(F.col("edit_dist") >= 0)
+        )
+    return out.drop("_ta", "_tb")
+
+
 def match_edges(
     scored_pairs: DataFrame,
     jaccard_threshold: float | None = None,

@@ -730,3 +730,67 @@ def test_token_blocking_normalizes_before_splitting(spark):
     )
     rows = token_blocking_pairs(docs).collect()
     assert [(r["ref_a"], r["ref_b"], r["matches"]) for r in rows] == [(1, 2, 2)]
+
+
+# -- edit-distance join --------------------------------------------------------
+
+
+def test_with_edit_distance_exact_values(spark):
+    from blurrily_spark.operators.scoring import with_edit_distance
+
+    recs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "zzzzzzzzzzzz")],
+        "ref long, norm string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "ref_a long, ref_b long"
+    )
+    got = {
+        (r["ref_a"], r["ref_b"]): r["edit_dist"]
+        for r in with_edit_distance(pairs, recs).collect()
+    }
+    assert got == {(1, 2): 3, (1, 3): 0, (1, 4): 12}
+
+
+def test_with_edit_distance_threshold_and_length_prefilter(spark):
+    from blurrily_spark.operators.scoring import with_edit_distance
+
+    recs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "abcdefghijklmnop")],
+        "ref long, norm string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "ref_a long, ref_b long"
+    )
+    # k=3 keeps (1,2) at exactly 3; (1,3) dies in the free length prefilter
+    # (|6-16| = 10 > 3) before any DP
+    rows = with_edit_distance(pairs, recs, max_dist=3).collect()
+    assert [(r["ref_a"], r["ref_b"], r["edit_dist"]) for r in rows] == [(1, 2, 3)]
+    # k=2 drops it in the thresholded levenshtein (-1 filter), not an error
+    assert with_edit_distance(pairs, recs, max_dist=2).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_dist"):
+        with_edit_distance(pairs, recs, max_dist=-1)
+
+
+def test_with_edit_distance_bounded_equals_unbounded_within_k(spark):
+    # the thresholded DP must agree with full levenshtein on every pair it
+    # keeps, over real candidate pairs
+    from blurrily_spark.operators.index import prepare_needles
+    from blurrily_spark.operators.scoring import with_edit_distance
+
+    hay_df = put_rows(spark, HAYSTACK)
+    postings = build_postings(hay_df, order_col="seq")
+    cand = candidate_pairs(postings).select("ref_a", "ref_b")
+    recs = prepare_needles(hay_df, order_col="seq").select("ref", "norm")
+    full = {
+        (r["ref_a"], r["ref_b"]): r["edit_dist"]
+        for r in with_edit_distance(cand, recs).collect()
+    }
+    k = 6
+    bounded = {
+        (r["ref_a"], r["ref_b"]): r["edit_dist"]
+        for r in with_edit_distance(cand, recs, max_dist=k).collect()
+    }
+    assert bounded == {p: d for p, d in full.items() if d <= k}

@@ -70,6 +70,7 @@ NO_PYTHON_QUERIES = [
     "threshold_sweep",    # one conditional-sum aggregate + stack unpivot
     "cluster_stats",      # CC assignment + edge-count joins, no Python
     "token_blocking",     # adaptive normalize + token self-join, pure SQL
+    "edit_distance_join", # JVM banded levenshtein after length prefilter
 ]
 
 
