@@ -39,7 +39,9 @@ from blurrily_spark.operators.index import build_postings, delete_refs, stats
 from blurrily_spark.operators.pairs import (
     block_filtering,
     candidate_pairs,
+    multipass_candidates,
     token_blocking_pairs,
+    with_set_similarity,
     meta_blocking_prune,
     sorted_neighborhood_pairs,
     with_jaccard,
@@ -744,6 +746,32 @@ def q_cluster_stats(spark, sf_dir):
     return cluster_stats(assign, edges)
 
 
+def q_set_similarity(spark, sf_dir):
+    # the four classic set-similarity coefficients over the shared-trigram
+    # evidence -- same count joins as with_jaccard, four codegen'd
+    # divisions, no order-dependent float summation anywhere
+    p = _postings(spark, sf_dir, subset=True).cache()
+    s = with_set_similarity(candidate_pairs(p), p)
+    return s.select(
+        "ref_a", "ref_b", "matches",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("dice", 6).alias("dice"),
+        F.round("overlap", 6).alias("overlap"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def q_multipass_blocking(spark, sf_dir):
+    # multi-pass blocking (Hernandez-Stolfo): trigram + token passes
+    # unioned with provenance; the dedup shuffle is shared by all passes
+    docs = _docs_subset(spark, sf_dir)
+    p = _postings(spark, sf_dir, subset=True)
+    return multipass_candidates({
+        "trigram": candidate_pairs(p, keys_only=True),
+        "token": token_blocking_pairs(docs, max_df=TOKEN_BLOCK_MAX_DF, min_matches=3),
+    })
+
+
 def q_edit_distance_join(spark, sf_dir):
     # the classic edit-distance similarity join, blocking-first: trigram
     # candidates over the planted-dup corpus, then a length-gap prefilter
@@ -927,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_filtering": q_block_filtering,
         "token_blocking": q_token_blocking,
         "edit_distance_join": q_edit_distance_join,
+        "set_similarity": q_set_similarity,
+        "multipass_blocking": q_multipass_blocking,
         "threshold_sweep": q_threshold_sweep,
         "cluster_stats": q_cluster_stats,
         "incremental_entities": q_incremental_entities,
@@ -1815,6 +1845,46 @@ FROM ft a JOIN ft b ON a.token = b.token AND a.ref < b.ref
 GROUP BY 1, 2
 HAVING count(*) >= 3"""
 
+
+
+    # --- set_similarity: jaccard / dice / overlap / cosine from the same
+    # (m, a, b) counts; sqrt of an int product is deterministic IEEE
+    out["set_similarity"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')}
+SELECT ref_a, ref_b, matches,
+       round(matches / CAST(ta.n_tg + tb.n_tg - matches AS DOUBLE), 6) AS jaccard,
+       round(2.0 * matches / CAST(ta.n_tg + tb.n_tg AS DOUBLE), 6) AS dice,
+       round(matches / CAST(least(ta.n_tg, tb.n_tg) AS DOUBLE), 6) AS "overlap",
+       round(matches / sqrt(CAST(ta.n_tg * tb.n_tg AS DOUBLE)), 6) AS cosine
+FROM rawpairs
+JOIN tc ta ON ta.ref = ref_a
+JOIN tc tb ON tb.ref = ref_b"""
+
+    # --- multipass_blocking: union of the trigram and token passes with
+    # sorted provenance; aggregation mirrors the Spark collect_set+sort
+    out["multipass_blocking"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.pairs_ctes('hay')},
+ws AS (SELECT ref, string_split(norm, ' ') AS w FROM hay_norm),
+tok AS (SELECT DISTINCT ref, unnest(w) AS token FROM ws),
+tk AS (SELECT ref, token FROM tok WHERE token <> ''),
+keep AS (SELECT token FROM tk GROUP BY token HAVING count(*) <= {TOKEN_BLOCK_MAX_DF}),
+ft AS (SELECT tk.ref, tk.token FROM tk JOIN keep USING (token)),
+tokpairs AS (
+  SELECT a.ref AS ref_a, b.ref AS ref_b
+  FROM ft a JOIN ft b ON a.token = b.token AND a.ref < b.ref
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+cand AS (
+  SELECT ref_a, ref_b, 'trigram' AS scheme FROM rawpairs
+  UNION ALL
+  SELECT ref_a, ref_b, 'token' AS scheme FROM tokpairs
+)
+SELECT ref_a, ref_b,
+       array_to_string(list_sort(list(DISTINCT scheme)), ',') AS schemes,
+       CAST(count(DISTINCT scheme) AS INTEGER) AS n_schemes
+FROM cand GROUP BY 1, 2"""
 
     # --- edit_distance_join: trigram candidates + length-gap prefilter +
     # exact levenshtein <= EDIT_MAX; both engines' levenshtein is the

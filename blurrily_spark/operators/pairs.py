@@ -240,6 +240,37 @@ def with_jaccard(pairs: DataFrame, postings: DataFrame) -> DataFrame:
     )
 
 
+def with_set_similarity(pairs: DataFrame, postings: DataFrame) -> DataFrame:
+    """Attach the full set-similarity coefficient family to candidate pairs.
+
+    The four classic set measures over the shared-trigram evidence
+    (``m = matches``, ``a = |T(a)|``, ``b = |T(b)|``), each with a
+    different bias a practitioner picks deliberately:
+
+    * ``jaccard``  = m / (a + b - m)      -- symmetric, the default;
+    * ``dice``     = 2m / (a + b)         -- Sorensen-Dice, same ordering
+      as jaccard (monotone transform) but gentler on small sets;
+    * ``overlap``  = m / min(a, b)        -- containment: 1.0 when the
+      shorter record is a subset of the longer (truncation-style dups);
+    * ``cosine``   = m / sqrt(a * b)      -- Ochiai, length-normalized
+      between the two.
+
+    Same plan as :func:`with_jaccard` (it reuses its count joins): two
+    equi-joins against the per-ref trigram counts, then four codegen'd
+    divisions -- sqrt on a product of two ints is deterministic IEEE, so
+    every column is bit-identical across engines (no order-dependent
+    float summation anywhere).
+    """
+    j = with_jaccard(pairs, postings)
+    m = F.col("matches").cast("double")
+    a, b = F.col("tg_a"), F.col("tg_b")
+    return (
+        j.withColumn("dice", F.lit(2.0) * m / (a + b).cast("double"))
+        .withColumn("overlap", m / F.least(a, b).cast("double"))
+        .withColumn("cosine", m / F.sqrt((a * b).cast("double")))
+    )
+
+
 # -- token blocking ------------------------------------------------------------
 
 
@@ -300,6 +331,53 @@ def token_blocking_pairs(
     if min_matches > 1:
         pairs = pairs.where(F.col("matches") >= min_matches)
     return pairs
+
+
+# -- multi-pass blocking -------------------------------------------------------
+
+
+def multipass_candidates(schemes: dict[str, DataFrame]) -> DataFrame:
+    """Union candidate pairs from several blocking passes, with provenance.
+
+    Multi-pass blocking (Hernandez & Stolfo 1995 §4: run several cheap,
+    differently-biased blocking passes and union their candidates --
+    recall compounds while each pass stays narrow). ``schemes`` maps a
+    pass name to its ``(ref_a, ref_b, ...)`` candidate set (trigram,
+    token, phonetic, sorted-neighborhood -- anything in this module).
+    Returns one row per distinct unordered pair:
+    ``(ref_a, ref_b, schemes, n_schemes)`` where ``schemes`` is the
+    sorted comma-joined list of passes that proposed the pair --
+    provenance a scorer can weight (a pair proposed by 3 independent
+    passes is stronger evidence than 1) and the knob-tuner can audit
+    (which pass contributes which recall, via :func:`blocking_metrics`
+    per scheme).
+
+    Scale shape: per-pass canonicalize + tag is a projection; the union
+    feeds ONE pair-keyed aggregation (map-side combined) -- the same
+    dedup shuffle a single pass already pays, now shared by all of them.
+    ``sort_array(collect_set(...))`` makes provenance deterministic under
+    any partitioning.
+    """
+    if not schemes:
+        raise ValueError("schemes must be non-empty")
+    tagged = None
+    for name, df in schemes.items():
+        t = df.select(
+            F.least("ref_a", "ref_b").alias("ref_a"),
+            F.greatest("ref_a", "ref_b").alias("ref_b"),
+            F.lit(name).alias("_scheme"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (
+        tagged.groupBy("ref_a", "ref_b")
+        .agg(F.sort_array(F.collect_set("_scheme")).alias("_s"))
+        .select(
+            "ref_a",
+            "ref_b",
+            F.array_join("_s", ",").alias("schemes"),
+            F.size("_s").cast("int").alias("n_schemes"),
+        )
+    )
 
 
 # -- block filtering (per-record block cleaning) -------------------------------

@@ -794,3 +794,88 @@ def test_with_edit_distance_bounded_equals_unbounded_within_k(spark):
         for r in with_edit_distance(cand, recs, max_dist=k).collect()
     }
     assert bounded == {p: d for p, d in full.items() if d <= k}
+
+
+# -- set-similarity family -----------------------------------------------------
+
+
+def test_set_similarity_known_values(spark):
+    import math
+
+    from blurrily_spark.operators.pairs import with_set_similarity
+
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    got = {
+        (r["ref_a"], r["ref_b"]): r
+        for r in with_set_similarity(candidate_pairs(postings), postings).collect()
+    }
+    for (ra, rb), (m, a, b) in expected_pairs(HAYSTACK).items():
+        r = got[(ra, rb)]
+        assert abs(r["jaccard"] - m / (a + b - m)) < 1e-12
+        assert abs(r["dice"] - 2 * m / (a + b)) < 1e-12
+        assert abs(r["overlap"] - m / min(a, b)) < 1e-12
+        assert abs(r["cosine"] - m / math.sqrt(a * b)) < 1e-12
+
+
+def test_set_similarity_orderings(spark):
+    # dice is a monotone transform of jaccard (same ranking); overlap hits
+    # 1.0 exactly on containment
+    from blurrily_spark.operators.pairs import with_set_similarity
+
+    rows = [("abcdef", 1), ("abcdef extra tail", 2), ("xyz", 3)]
+    postings = build_postings(put_rows(spark, rows), order_col="seq")
+    s = {
+        (r["ref_a"], r["ref_b"]): r
+        for r in with_set_similarity(candidate_pairs(postings), postings).collect()
+    }
+    r = s[(1, 2)]
+    assert r["overlap"] == 1.0  # T(1) subset of T(2)
+    assert r["jaccard"] < r["dice"] <= 1.0
+
+
+# -- multi-pass blocking -------------------------------------------------------
+
+
+def test_multipass_candidates_provenance(spark):
+    from blurrily_spark.operators.pairs import multipass_candidates
+
+    a = spark.createDataFrame([(1, 2), (1, 3)], "ref_a long, ref_b long")
+    # scheme b proposes (2,1) reversed -- must merge with a's (1,2)
+    b = spark.createDataFrame([(2, 1), (3, 4)], "ref_a long, ref_b long")
+    got = {
+        (r["ref_a"], r["ref_b"]): (r["schemes"], r["n_schemes"])
+        for r in multipass_candidates({"tri": a, "tok": b}).collect()
+    }
+    assert got == {
+        (1, 2): ("tok,tri", 2),
+        (1, 3): ("tri", 1),
+        (3, 4): ("tok", 1),
+    }
+
+
+def test_multipass_candidates_empty_schemes_raises(spark):
+    import pytest as _pytest
+
+    from blurrily_spark.operators.pairs import multipass_candidates
+
+    with _pytest.raises(ValueError, match="schemes"):
+        multipass_candidates({})
+
+
+def test_multipass_superset_of_each_pass(spark):
+    from blurrily_spark.operators.pairs import (
+        multipass_candidates,
+        token_blocking_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "red cat sat"), (2, "red cat ran"), (3, "blue dog sat")],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs, text_col="text", ref_col="doc_id", weight_col=None)
+    tri = candidate_pairs(postings, keys_only=True)
+    tok = token_blocking_pairs(docs)
+    multi = multipass_candidates({"trigram": tri, "token": tok})
+    mset = {(r["ref_a"], r["ref_b"]) for r in multi.collect()}
+    for df in (tri, tok):
+        assert {(r["ref_a"], r["ref_b"]) for r in df.collect()} <= mset

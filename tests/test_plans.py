@@ -71,6 +71,8 @@ NO_PYTHON_QUERIES = [
     "cluster_stats",      # CC assignment + edge-count joins, no Python
     "token_blocking",     # adaptive normalize + token self-join, pure SQL
     "edit_distance_join", # JVM banded levenshtein after length prefilter
+    "set_similarity",     # four codegen'd divisions over the count joins
+    "multipass_blocking", # tagged union + one pair-keyed aggregation
 ]
 
 
