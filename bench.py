@@ -48,6 +48,11 @@ Queries:
   q_fs_score       -- Fellegi-Sunter probabilistic linkage over the SF
                       documents: postings -> capped blocking -> jaccard ->
                       agreement levels -> literal-weight scoring
+  q_edit_distance  -- edit-distance similarity join: capped blocking ->
+                      length-gap prefilter -> thresholded banded
+                      levenshtein over the SF documents
+  q_meta_blocking  -- WNP meta-blocking prune of the capped candidate
+                      graph (node-stat groupBy + equi-joins + filter)
   q_linkage_pipeline -- full transcripts->entities linkage run on a seeded
                         synthetic transcripts corpus sized to the SF
                         (materialized once to /tmp and reused)
@@ -412,6 +417,51 @@ def main() -> None:
             p.unpersist()
 
     timed("q_fs_score", _run_fs)
+
+    # round 5: edit-distance similarity join at SF scale -- capped blocking
+    # candidates, then the free length-gap prefilter + the JVM's THRESHOLDED
+    # banded levenshtein (early exit past k); measures the exact-rescore
+    # path the linkage docs recommend after any blocker
+    from blurrily_spark.functions.tokenizer import with_normalized as _with_norm
+    from blurrily_spark.operators.pairs import (
+        meta_blocking_prune as _mb_prune,
+    )
+    from blurrily_spark.operators.scoring import (
+        with_edit_distance as _with_edit,
+    )
+
+    def _run_edit_distance() -> None:
+        p = _build_postings(
+            docs_meta, text_col="text", ref_col="doc_id", weight_col=None
+        ).cache()
+        try:
+            cand = _cand_pairs(p, max_df=64, keys_only=True)
+            recs = _with_norm(docs_meta, "text", "norm", adaptive="auto").select(
+                F.col("doc_id").alias("ref"), "norm"
+            )
+            _with_edit(cand, recs, max_dist=40).selectExpr(
+                "count(*)", "avg(edit_dist)"
+            ).collect()
+        finally:
+            p.unpersist()
+
+    timed("q_edit_distance", _run_edit_distance)
+
+    # round 5: meta-blocking WNP pruning over the capped candidate graph --
+    # one node-stat groupBy + two equi-joins + a filter; the count forces
+    # the pruned set and reports the survival rate as an extra
+    def _run_meta_blocking() -> None:
+        p = _build_postings(
+            docs_meta, text_col="text", ref_col="doc_id", weight_col=None
+        ).cache()
+        try:
+            edges = _cand_pairs(p, max_df=64).select("ref_a", "ref_b", "matches")
+            kept = _mb_prune(edges, scheme="wnp").count()
+            extras["meta_blocking_kept"] = kept
+        finally:
+            p.unpersist()
+
+    timed("q_meta_blocking", _run_meta_blocking)
 
     # full linkage pipeline over synthetic transcripts -- registered like
     # every other query so its trials interleave too (a fresh workdir per
