@@ -39,6 +39,7 @@ from blurrily_spark.operators.index import build_postings, delete_refs, stats
 from blurrily_spark.operators.pairs import (
     block_filtering,
     candidate_pairs,
+    idf_weighted_pairs,
     multipass_candidates,
     token_blocking_pairs,
     with_set_similarity,
@@ -746,6 +747,17 @@ def q_cluster_stats(spark, sf_dir):
     return cluster_stats(assign, edges)
 
 
+def q_idf_cosine_pairs(spark, sf_dir):
+    # df-weighted cosine scoring: shared rare trigrams count for more than
+    # shared stopword-grade ones; scaled-int weight sums keep it
+    # bit-identical to the oracle (rational RSJ idf, floats only in the
+    # final division)
+    s = idf_weighted_pairs(_postings(spark, sf_dir, subset=True))
+    return s.select(
+        "ref_a", "ref_b", "matches", F.round("idf_cos", 6).alias("idf_cos")
+    )
+
+
 def q_set_similarity(spark, sf_dir):
     # the four classic set-similarity coefficients over the shared-trigram
     # evidence -- same count joins as with_jaccard, four codegen'd
@@ -956,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_blocking": q_token_blocking,
         "edit_distance_join": q_edit_distance_join,
         "set_similarity": q_set_similarity,
+        "idf_cosine_pairs": q_idf_cosine_pairs,
         "multipass_blocking": q_multipass_blocking,
         "threshold_sweep": q_threshold_sweep,
         "cluster_stats": q_cluster_stats,
@@ -1846,6 +1859,32 @@ GROUP BY 1, 2
 HAVING count(*) >= 3"""
 
 
+
+
+    # --- idf_cosine_pairs: rational RSJ idf scaled to int64 (floor(w*1e6
+    # + 0.5)); all sums integer, the only float is the final division
+    out["idf_cosine_pairs"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+nn AS (SELECT count(DISTINCT ref) AS n FROM hay_tg),
+wdf AS (
+  SELECT trigram,
+         CAST(floor((n - df + 0.5) / (df + 0.5) * 1000000.0 + 0.5) AS BIGINT) AS w
+  FROM (SELECT trigram, count(*) AS df FROM hay_tg GROUP BY trigram)
+  CROSS JOIN nn
+),
+pw AS (SELECT t.ref, t.trigram, w.w FROM hay_tg t JOIN wdf w USING (trigram)),
+wsums AS (SELECT ref, CAST(sum(w) AS BIGINT) AS wsum FROM pw GROUP BY ref),
+dots AS (
+  SELECT a.ref AS ref_a, b.ref AS ref_b,
+         CAST(count(*) AS BIGINT) AS matches, CAST(sum(a.w) AS BIGINT) AS dot
+  FROM pw a JOIN pw b ON a.trigram = b.trigram AND a.ref < b.ref
+  GROUP BY 1, 2
+)
+SELECT d.ref_a, d.ref_b, d.matches,
+       round(d.dot / sqrt(CAST(wa.wsum AS DOUBLE) * CAST(wb.wsum AS DOUBLE)), 6) AS idf_cos
+FROM dots d
+JOIN wsums wa ON wa.ref = d.ref_a
+JOIN wsums wb ON wb.ref = d.ref_b"""
 
     # --- set_similarity: jaccard / dice / overlap / cosine from the same
     # (m, a, b) counts; sqrt of an int product is deterministic IEEE

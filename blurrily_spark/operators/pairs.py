@@ -333,6 +333,87 @@ def token_blocking_pairs(
     return pairs
 
 
+# -- idf-weighted cosine scoring -----------------------------------------------
+
+
+def idf_weighted_pairs(postings: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Candidate pairs scored by df-weighted (idf) cosine over shared keys.
+
+    The TF-IDF-family linkage scorer (Cohen et al.'s soft-TFIDF lineage,
+    binary tf since postings are per-record distinct): a shared RARE
+    trigram is strong match evidence, a shared stopword-grade one is
+    nearly none -- unweighted ``matches`` treats them the same. Weight
+    per key: the rational RSJ-style idf ``w(t) = (N - df + 0.5) /
+    (df + 0.5)`` (monotone in 1/df; chosen over log-idf because division
+    is correctly-rounded IEEE in every engine, so the score is
+    bit-identical to the SQL oracle -- a log-idf variant is a one-line
+    swap where cross-engine bit-exactness is not required). Score:
+    ``idf_cos = dot / sqrt(wa * wb)`` with ``dot = sum of w over shared
+    keys`` and ``wa/wb = per-record weight sums`` -- the weighted Ochiai,
+    reducing to plain set cosine at w == 1.
+
+    Exactness machinery: weights are scaled to int64
+    (``floor(w * scale + 0.5)``), so every sum is order-independent
+    integer math -- no float-summation nondeterminism anywhere; floats
+    appear only in the final division. ``scale`` trades precision for
+    headroom: the per-record sum must fit int64, so with the default 1e6
+    keep ``N * scale * keys_per_record < 2^63`` (corpora beyond ~10^8
+    records: drop to 1e3).
+
+    Scale shape: the same trigram self-join as :func:`candidate_pairs`
+    (the dot product rides the existing pair aggregation -- ``sum(w)``
+    instead of ``count(*)``), the <= 28^3-row weight table broadcast onto
+    both sides, and two per-ref weight-sum joins exactly like
+    :func:`with_jaccard`'s count joins.
+    """
+    p = postings.select("trigram", "ref")
+    nn = p.agg(F.count_distinct("ref").alias("_n"))
+    w = (
+        trigram_df_counts(p)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "trigram",
+            F.floor(
+                (F.col("_n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_w"),
+        )
+    )
+    pw = p.join(F.broadcast(w), "trigram")
+    wsums = pw.groupBy("ref").agg(F.sum("_w").alias("_wsum"))
+    left = pw.select("trigram", F.col("ref").alias("ref_a"), F.col("_w"))
+    right = pw.select("trigram", F.col("ref").alias("ref_b"))
+    dots = (
+        left.join(right, "trigram")
+        .where(F.col("ref_a") < F.col("ref_b"))
+        .groupBy("ref_a", "ref_b")
+        .agg(F.count(F.lit(1)).alias("matches"), F.sum("_w").alias("_dot"))
+    )
+    return (
+        dots.join(
+            wsums.select(F.col("ref").alias("ref_a"), F.col("_wsum").alias("_wa")),
+            "ref_a",
+        )
+        .join(
+            wsums.select(F.col("ref").alias("ref_b"), F.col("_wsum").alias("_wb")),
+            "ref_b",
+        )
+        .select(
+            "ref_a",
+            "ref_b",
+            "matches",
+            (
+                F.col("_dot")
+                / F.sqrt(F.col("_wa").cast("double") * F.col("_wb").cast("double"))
+            ).alias("idf_cos"),
+        )
+    )
+
+
 # -- multi-pass blocking -------------------------------------------------------
 
 

@@ -879,3 +879,66 @@ def test_multipass_superset_of_each_pass(spark):
     mset = {(r["ref_a"], r["ref_b"]) for r in multi.collect()}
     for df in (tri, tok):
         assert {(r["ref_a"], r["ref_b"]) for r in df.collect()} <= mset
+
+
+# -- idf-weighted cosine -------------------------------------------------------
+
+
+def _idf_cos_py(rows):
+    # python model of the scaled-int rational-idf cosine
+    import math
+
+    tg = {ref: set(tokenize_py(text)) for text, ref in rows}
+    n = len(tg)
+    df = {}
+    for ts in tg.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    w = {t: math.floor((n - d + 0.5) / (d + 0.5) * 1e6 + 0.5) for t, d in df.items()}
+    ws = {ref: sum(w[t] for t in ts) for ref, ts in tg.items()}
+    out = {}
+    for (ra, ta), (rb, tb) in itertools.combinations(sorted(tg.items()), 2):
+        shared = ta & tb
+        if shared:
+            dot = sum(w[t] for t in shared)
+            out[(ra, rb)] = (len(shared), dot / math.sqrt(ws[ra] * ws[rb]))
+    return out
+
+
+def test_idf_weighted_pairs_matches_python_model(spark):
+    from blurrily_spark.operators.pairs import idf_weighted_pairs
+
+    postings = build_postings(put_rows(spark, HAYSTACK), order_col="seq")
+    got = {
+        (r["ref_a"], r["ref_b"]): (r["matches"], r["idf_cos"])
+        for r in idf_weighted_pairs(postings).collect()
+    }
+    exp = _idf_cos_py(HAYSTACK)
+    assert set(got) == set(exp)
+    for k, (m, s) in exp.items():
+        assert got[k][0] == m
+        assert abs(got[k][1] - s) < 1e-12, k
+
+
+def test_idf_weights_rare_evidence_higher(spark):
+    # two pairs with the SAME matches count: the one sharing rarer trigrams
+    # must score strictly higher
+    from blurrily_spark.operators.pairs import idf_weighted_pairs
+
+    rows = [
+        ("qzxv", 1), ("qzxv", 2),          # share rare trigrams (df=2)
+        ("aaab", 3), ("aaab", 4),          # share trigrams also in 5..8
+        ("aaab filler one", 5), ("aaab filler two", 6),
+        ("aaab pad three", 7), ("aaab pad four", 8),
+    ]
+    postings = build_postings(put_rows(spark, rows), order_col="seq")
+    s = {
+        (r["ref_a"], r["ref_b"]): r["idf_cos"]
+        for r in idf_weighted_pairs(postings).collect()
+    }
+    # identical strings -> cosine 1.0 regardless of rarity
+    assert abs(s[(1, 2)] - 1.0) < 1e-12
+    assert abs(s[(3, 4)] - 1.0) < 1e-12
+    # (3,5): shared 'aaab' trigrams are common across 5..8 -> scores below
+    # a pair sharing the same trigrams exclusively
+    assert s[(3, 5)] < s[(3, 4)]

@@ -72,6 +72,7 @@ NO_PYTHON_QUERIES = [
     "token_blocking",     # adaptive normalize + token self-join, pure SQL
     "edit_distance_join", # JVM banded levenshtein after length prefilter
     "set_similarity",     # four codegen'd divisions over the count joins
+    "idf_cosine_pairs",   # scaled-int idf sums, float only in the division
     "multipass_blocking", # tagged union + one pair-keyed aggregation
 ]
 
