@@ -381,12 +381,24 @@ def main() -> None:
         os.path.join(SF_DIR, "documents.parquet")
     ).select("doc_id", "text", "lang", "source")
 
+    # The blocking cap must SCALE with the corpus: per-trigram df grows
+    # linearly with doc count (bounded 28^3 key space), so a fixed
+    # max_df=64 that keeps most keys at 500 docs keeps ZERO keys at 5000
+    # (measured: sf0.1 cap=64 -> 0 keys, 0 candidate pairs -- the capped
+    # queries were timing an empty plan). n_docs//16 reproduces 64 at the
+    # sf0.01 driver scale (round-comparable) and keeps the capped family
+    # measuring real pair work at every SF; the pair counts ship as extras
+    # so an empty candidate set can never hide in a fast wall time again.
+    _n_docs = docs_meta.count()
+    CAP_DF = max(64, _n_docs // 16)
+    extras["cap_df"] = CAP_DF
+
     def _run_fs() -> None:
         p = _build_postings(
             docs_meta, text_col="text", ref_col="doc_id", weight_col=None
         ).cache()
         try:
-            pairs = _with_jacc(_cand_pairs(p, max_df=64), p)
+            pairs = _with_jacc(_cand_pairs(p, max_df=CAP_DF), p)
             a = docs_meta.select(
                 F.col("doc_id").alias("ref_a"),
                 F.col("lang").alias("_la"),
@@ -410,9 +422,10 @@ def main() -> None:
                     (F.col("_sa") == F.col("_sb")).cast("int").alias("source_level"),
                 )
             )
-            _fs_score(
+            row = _fs_score(
                 lev, [em.FS_JACC, em.FS_LANG, em.FS_SOURCE], prior=em.FS_PRIOR
-            ).selectExpr("count(*)", "avg(match_weight)").collect()
+            ).selectExpr("count(*) AS c", "avg(match_weight)").collect()[0]
+            extras["fs_pairs"] = row["c"]
         finally:
             p.unpersist()
 
@@ -435,13 +448,14 @@ def main() -> None:
             docs_meta, text_col="text", ref_col="doc_id", weight_col=None
         ).cache()
         try:
-            cand = _cand_pairs(p, max_df=64, keys_only=True)
+            cand = _cand_pairs(p, max_df=CAP_DF, keys_only=True)
             recs = _with_norm(docs_meta, "text", "norm", adaptive="auto").select(
                 F.col("doc_id").alias("ref"), "norm"
             )
-            _with_edit(cand, recs, max_dist=40).selectExpr(
-                "count(*)", "avg(edit_dist)"
-            ).collect()
+            row = _with_edit(cand, recs, max_dist=40).selectExpr(
+                "count(*) AS c", "avg(edit_dist)"
+            ).collect()[0]
+            extras["edit_pairs"] = row["c"]
         finally:
             p.unpersist()
 
@@ -455,7 +469,7 @@ def main() -> None:
             docs_meta, text_col="text", ref_col="doc_id", weight_col=None
         ).cache()
         try:
-            edges = _cand_pairs(p, max_df=64).select("ref_a", "ref_b", "matches")
+            edges = _cand_pairs(p, max_df=CAP_DF).select("ref_a", "ref_b", "matches")
             kept = _mb_prune(edges, scheme="wnp").count()
             extras["meta_blocking_kept"] = kept
         finally:
