@@ -27,7 +27,7 @@ from blurrily_spark.operators.cluster import (
     golden_records,
 )
 from blurrily_spark.operators.events import session_stats, sessionize
-from blurrily_spark.operators.find import find
+from blurrily_spark.operators.find import find, knn_join
 from blurrily_spark.operators.linkage import FieldModel, estimate_m_u, fs_score
 from blurrily_spark.quality import (
     blocking_metrics,
@@ -171,6 +171,12 @@ def q_index_delete(spark, sf_dir):
 
 def q_find(spark, sf_dir):
     return find(_postings(spark, sf_dir), _queries_df(spark), limit=10)
+
+
+def q_knn_join(spark, sf_dir):
+    # per-record top-5 FIND over the pair subset: the kNN-join candidate
+    # generation mode (every record keeps its best matches, threshold-free)
+    return knn_join(_postings(spark, sf_dir, subset=True), k=5)
 
 
 def q_pairs(spark, sf_dir):
@@ -919,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "index_delete": q_index_delete,
         "find_ranked": q_find,
+        "knn_join": q_knn_join,
         "blocking_pairs": q_pairs,
         "pairs_jaccard": q_pairs_jaccard,
         "match_edges": q_match_edges,
@@ -1020,6 +1027,23 @@ SELECT count(DISTINCT ref) AS references, count(*) AS trigrams
 FROM hay_tg WHERE ref % 10 <> 3"""
 
     out["find_ranked"] = oracle.find_sql(docs, "doc_id", "text", NEEDLES, limit=10)
+
+    out["knn_join"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+scored AS (
+  SELECT a.ref AS query_ref, b.ref AS ref, count(*) AS matches,
+         min(b.weight) AS weight
+  FROM hay_tg a JOIN hay_tg b ON a.trigram = b.trigram AND a.ref <> b.ref
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_ref, ref, matches, weight,
+         CAST(row_number() OVER (
+           PARTITION BY query_ref
+           ORDER BY matches DESC, weight ASC, ref ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_ref, ref, matches, weight, rank FROM ranked WHERE rank <= 5"""
 
     out["blocking_pairs"] = _pairs_head(with_jacc=False)
     out["pairs_jaccard"] = _pairs_head(with_jacc=True)

@@ -107,6 +107,67 @@ def find(
     )
 
 
+def knn_join(
+    postings: DataFrame,
+    k: int = LIMIT_DEFAULT,
+    max_df: int | None = None,
+    query_postings: DataFrame | None = None,
+) -> DataFrame:
+    """Per-record top-k similarity join: batch FIND with the corpus as queries.
+
+    For every stored record, its ``k`` nearest other records under the
+    reference's own FIND ranking (matches DESC, weight ASC, ref ASC --
+    storage.h:99-109): semantically ``find(needle=text(r), limit=k)`` for
+    every stored ``r`` at once, minus the self-hit. This is the
+    candidate-generation mode thresholded blocking cannot express -- every
+    record gets candidates even when nothing clears a global threshold
+    (kNN-join ER: sparse/short records keep their best-effort matches).
+
+    Returns ``(query_ref, ref, matches, weight, rank)``, at most ``k`` rows
+    per ``query_ref``, ``rank`` 1-based in F5 order.
+
+    ``query_postings`` restricts the query side (cross-kNN: new batch vs
+    stored corpus); default is the self-join with self-pairs excluded.
+
+    Scale design: the directed trigram self-join shares
+    :func:`~blurrily_spark.operators.pairs.candidate_pairs`' skew profile --
+    a trigram with df=d contributes d^2 directed collisions -- so ``max_df``
+    caps blocking exactly like pg_trgm's common-key guard (a trigram shared
+    by more than max_df records carries no ranking information worth d^2
+    work; unlike thresholded pairs the top-k CONTRACT survives capping,
+    only the matches counts of very-common-trigram ties shift). The
+    per-query top-k compiles to WindowGroupLimit (rank-limit pushdown:
+    partial top-k map-side before the window shuffle), never a global sort,
+    and the window key (query_ref) is uniform by construction.
+    """
+    p = postings.select("trigram", "ref", "weight")
+    if max_df is not None:
+        counts = p.groupBy("trigram").agg(F.count(F.lit(1)).alias("df"))
+        keep = counts.where(F.col("df") <= max_df).select("trigram")
+        # bounded by the 28^3 code space -> broadcast, never a shuffle
+        p = p.join(F.broadcast(keep), "trigram")
+    q = (query_postings if query_postings is not None else postings).select(
+        "trigram", F.col("ref").alias("query_ref")
+    )
+    if max_df is not None and query_postings is not None:
+        q = q.join(F.broadcast(keep), "trigram")
+
+    joined = q.join(p, "trigram").where(F.col("query_ref") != F.col("ref"))
+    scored = joined.groupBy("query_ref", "ref").agg(
+        F.count(F.lit(1)).alias("matches"),
+        F.min("weight").alias("weight"),  # all postings of a ref share one weight
+    )
+    win = Window.partitionBy("query_ref").orderBy(
+        F.col("matches").desc(), F.col("weight").asc(), F.col("ref").asc()
+    )
+    eff = LIMIT_DEFAULT if k is None or k <= 0 else int(k)
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= F.lit(eff))
+        .select("query_ref", "ref", "matches", "weight", "rank")
+    )
+
+
 def find_one(
     postings: DataFrame,
     needle: str,

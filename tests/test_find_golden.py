@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from conftest import put_rows
 
-from blurrily_spark.operators.find import find, find_one
+from blurrily_spark.operators.find import find, find_one, knn_join
 from blurrily_spark.operators.index import (
     append_postings,
     build_postings,
@@ -185,3 +185,79 @@ def test_per_query_limit_col(spark):
     ).collect()}
     assert counts[1] == 2
     assert counts[2] == 5  # limit 0 -> default 10, capped by 5 stored refs
+
+
+# ---------------------------------------------------------------------------
+# knn_join: per-record top-k batch FIND (self-similarity join)
+# ---------------------------------------------------------------------------
+
+
+def _knn_rows(df):
+    return [
+        (r["query_ref"], r["ref"], r["matches"], r["weight"], r["rank"])
+        for r in df.orderBy("query_ref", "rank").collect()
+    ]
+
+
+def test_knn_join_golden(spark):
+    # two identical 'london' records match each other with the full 7-trigram
+    # intersection (spec/blurrily/map_spec.rb:158-161 counts); 'paris' shares
+    # no trigram with either, so it yields no row in either direction.
+    p = _postings(spark, [("london", 1), ("london", 2), ("paris", 3)])
+    assert _knn_rows(knn_join(p, k=2)) == [
+        (1, 2, 7, 6, 1),
+        (2, 1, 7, 6, 1),
+    ]
+
+
+def test_knn_join_tie_order_and_k(spark):
+    # five identical records: every (matches, weight) ties, so ranking falls
+    # to the deterministic ref ASC third key (F5's comparator leaves full
+    # ties unordered; we pin insertion-id order like spec/integration_spec.rb)
+    p = _postings(spark, [("london", r) for r in range(1, 6)])
+    rows = _knn_rows(knn_join(p, k=2))
+    assert rows[:2] == [(1, 2, 7, 6, 1), (1, 3, 7, 6, 2)]
+    by_q = {}
+    for q, ref, *_ in rows:
+        by_q.setdefault(q, []).append(ref)
+    # each query keeps exactly k=2 neighbours: the two smallest other refs
+    assert by_q == {1: [2, 3], 2: [1, 3], 3: [1, 2], 4: [1, 2], 5: [1, 2]}
+
+
+def test_knn_join_matches_per_record_find(spark):
+    # contract: knn_join(r) == find(needle=text(r)) minus the self-hit,
+    # ranks renumbered -- the batch generalization of F1-F6
+    rows = [("london", 1), ("londons", 2), ("lyon", 3), ("paris", 4)]
+    p = _postings(spark, rows)
+    knn = {}
+    for q, ref, m, w, rk in _knn_rows(knn_join(p, k=10)):
+        knn.setdefault(q, []).append((ref, m, w))
+    for text, ref in rows:
+        expected = [t for t in _triples(find_one(p, text)) if t[0] != ref]
+        assert knn.get(ref, []) == expected, text
+
+
+def test_knn_join_cross_query_side(spark):
+    # query_postings restricts the query side (new-batch-vs-corpus kNN);
+    # self-exclusion still applies only by ref equality
+    p = _postings(spark, [("london", 1), ("london", 2), ("paris", 3)])
+    q = p.where("ref = 1")
+    assert _knn_rows(knn_join(p, k=5, query_postings=q)) == [(1, 2, 7, 6, 1)]
+
+
+def test_knn_join_max_df_caps_blocking(spark):
+    # a trigram shared by every record is dropped from blocking under
+    # max_df; identical records still match on their remaining trigrams
+    p = _postings(spark, [("london", r) for r in range(1, 4)])
+    capped = _knn_rows(knn_join(p, k=1, max_df=2))
+    assert capped == []  # df=3 for every trigram -> all capped away
+    uncapped = _knn_rows(knn_join(p, k=1))
+    assert [(q, ref) for q, ref, *_ in uncapped] == [(1, 2), (2, 1), (3, 1)]
+
+
+def test_knn_join_plan_rank_limit_pushdown(spark):
+    # the per-query top-k must compile to WindowGroupLimit (partial top-k
+    # map-side before the window shuffle), never a global sort
+    p = _postings(spark, [("london", 1), ("paris", 2)])
+    plan = knn_join(p, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
