@@ -53,6 +53,12 @@ Queries:
                       levenshtein over the SF documents
   q_meta_blocking  -- WNP meta-blocking prune of the capped candidate
                       graph (node-stat groupBy + equi-joins + filter)
+  q_knn_join       -- per-record top-10 similarity join (batch FIND with
+                      the corpus as queries) over the stored BUCKETED
+                      index: the directed trigram self-join is
+                      exchange-free on both sides, the per-query top-k
+                      is WindowGroupLimit; capped at CAP_DF like every
+                      blocking query
   q_linkage_pipeline -- full transcripts->entities linkage run on a seeded
                         synthetic transcripts corpus sized to the SF
                         (materialized once to /tmp and reused)
@@ -163,7 +169,7 @@ def main() -> None:
     import tempfile
 
     from blurrily_spark.operators import dedup
-    from blurrily_spark.operators.find import find as find_op
+    from blurrily_spark.operators.find import find as find_op, knn_join
     from blurrily_spark.operators.index import save_postings_bucketed
 
     idx_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -476,6 +482,18 @@ def main() -> None:
             p.unpersist()
 
     timed("q_meta_blocking", _run_meta_blocking)
+
+    # round 5: per-record top-k similarity join over the stored bucketed
+    # index -- kNN-join candidate generation (threshold-free: every record
+    # keeps its best matches). Both sides of the directed trigram self-join
+    # read the SAME bucketed table, so the join is exchange-free on both
+    # sides; the only shuffles are the (query_ref, ref) collision agg and
+    # the WindowGroupLimit top-k. Same CAP_DF as the other blocking queries.
+    def _run_knn() -> None:
+        p = spark.table("bench_postings_bucketed")
+        extras["knn_rows"] = knn_join(p, k=10, max_df=CAP_DF).count()
+
+    timed("q_knn_join", _run_knn)
 
     # full linkage pipeline over synthetic transcripts -- registered like
     # every other query so its trials interleave too (a fresh workdir per
