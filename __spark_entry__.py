@@ -27,7 +27,7 @@ from blurrily_spark.operators.cluster import (
     golden_records,
 )
 from blurrily_spark.operators.events import session_stats, sessionize
-from blurrily_spark.operators.find import find, knn_join
+from blurrily_spark.operators.find import find, knn_join, mutual_knn_pairs
 from blurrily_spark.operators.linkage import FieldModel, estimate_m_u, fs_score
 from blurrily_spark.quality import (
     blocking_metrics,
@@ -177,6 +177,12 @@ def q_knn_join(spark, sf_dir):
     # per-record top-5 FIND over the pair subset: the kNN-join candidate
     # generation mode (every record keeps its best matches, threshold-free)
     return knn_join(_postings(spark, sf_dir, subset=True), k=5)
+
+
+def q_mutual_knn(spark, sf_dir):
+    # reciprocal-kNN refinement of the top-5 graph: asymmetric hub edges
+    # pruned with no similarity recomputation
+    return mutual_knn_pairs(_postings(spark, sf_dir, subset=True), k=5)
 
 
 def q_pairs(spark, sf_dir):
@@ -926,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_delete": q_index_delete,
         "find_ranked": q_find,
         "knn_join": q_knn_join,
+        "mutual_knn": q_mutual_knn,
         "blocking_pairs": q_pairs,
         "pairs_jaccard": q_pairs_jaccard,
         "match_edges": q_match_edges,
@@ -1044,6 +1051,26 @@ ranked AS (
   FROM scored
 )
 SELECT query_ref, ref, matches, weight, rank FROM ranked WHERE rank <= 5"""
+
+    out["mutual_knn"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+scored AS (
+  SELECT a.ref AS query_ref, b.ref AS ref, count(*) AS matches,
+         min(b.weight) AS weight
+  FROM hay_tg a JOIN hay_tg b ON a.trigram = b.trigram AND a.ref <> b.ref
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_ref, ref, matches,
+         CAST(row_number() OVER (
+           PARTITION BY query_ref
+           ORDER BY matches DESC, weight ASC, ref ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT f.query_ref AS ref_a, f.ref AS ref_b, f.matches,
+       f.rank AS rank_ab, r.rank AS rank_ba
+FROM ranked f JOIN ranked r ON f.query_ref = r.ref AND f.ref = r.query_ref
+WHERE f.query_ref < f.ref AND f.rank <= 5 AND r.rank <= 5"""
 
     out["blocking_pairs"] = _pairs_head(with_jacc=False)
     out["pairs_jaccard"] = _pairs_head(with_jacc=True)

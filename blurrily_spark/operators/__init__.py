@@ -1,4 +1,9 @@
-from blurrily_spark.operators.find import find, find_one, knn_join  # noqa: F401
+from blurrily_spark.operators.find import (  # noqa: F401
+    find,
+    find_one,
+    knn_join,
+    mutual_knn_pairs,
+)
 from blurrily_spark.operators.index import (  # noqa: F401
     append_postings,
     build_postings,

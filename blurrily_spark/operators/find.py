@@ -168,6 +168,51 @@ def knn_join(
     )
 
 
+def mutual_knn_pairs(
+    postings: DataFrame,
+    k: int = LIMIT_DEFAULT,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Reciprocal-kNN candidate pairs: keep (a, b) only when each record is
+    in the OTHER's top-k under the FIND ranking.
+
+    The classic kNN-graph refinement for entity resolution: asymmetric
+    neighbours (a hub record that is everyone's nearest match without
+    reciprocating) are exactly the false-positive shape that thresholded
+    blocking over-generates, and mutuality prunes them with no similarity
+    re-computation. Returns ``(ref_a, ref_b, matches, rank_ab, rank_ba)``
+    with ``ref_a < ref_b``, one row per unordered mutual pair; ``matches``
+    is symmetric (|T(a) ∩ T(b)|).
+
+    Scale design: ONE pass over the kNN graph -- each directed edge folds
+    into its unordered (least, greatest) pair key and a single
+    partial-aggregating groupBy keeps the pairs seen from both directions
+    (each direction occurs at most once, so count == 2 IS mutuality). No
+    self-join, no second window: a naive knn ⋈ knn formulation recomputes
+    the whole graph twice (Spark does not reuse the window exchange across
+    the two differently-filtered reads -- measured, not assumed).
+    """
+    knn = knn_join(postings, k=k, max_df=max_df)
+    directed = knn.select(
+        F.least("query_ref", "ref").alias("ref_a"),
+        F.greatest("query_ref", "ref").alias("ref_b"),
+        "matches",
+        F.when(F.col("query_ref") < F.col("ref"), F.col("rank")).alias("_fwd"),
+        F.when(F.col("query_ref") > F.col("ref"), F.col("rank")).alias("_rev"),
+    )
+    return (
+        directed.groupBy("ref_a", "ref_b")
+        .agg(
+            F.min("matches").alias("matches"),  # symmetric: both copies equal
+            F.min("_fwd").alias("rank_ab"),
+            F.min("_rev").alias("rank_ba"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == 2)
+        .select("ref_a", "ref_b", "matches", "rank_ab", "rank_ba")
+    )
+
+
 def find_one(
     postings: DataFrame,
     needle: str,

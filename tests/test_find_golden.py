@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from conftest import put_rows
 
-from blurrily_spark.operators.find import find, find_one, knn_join
+from blurrily_spark.operators.find import find, find_one, knn_join, mutual_knn_pairs
 from blurrily_spark.operators.index import (
     append_postings,
     build_postings,
@@ -261,3 +261,37 @@ def test_knn_join_plan_rank_limit_pushdown(spark):
     p = _postings(spark, [("london", 1), ("paris", 2)])
     plan = knn_join(p, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_mutual_knn_prunes_asymmetric_neighbour(spark):
+    # refs 1,2 are identical; ref 3's best match is 1 (tie on matches/weight
+    # between 1 and 2, ref ASC wins) but 1's top-1 is 2 -- at k=1 the (1,3)
+    # edge is asymmetric and must be pruned, (1,2) is mutual and survives
+    p = _postings(spark, [("london", 1), ("london", 2), ("londons", 3)])
+    rows = [
+        (r["ref_a"], r["ref_b"], r["rank_ab"], r["rank_ba"])
+        for r in mutual_knn_pairs(p, k=1).collect()
+    ]
+    assert rows == [(1, 2, 1, 1)]
+    # at k=2 every record reciprocates: all three pairs are mutual
+    pairs_k2 = sorted(
+        (r["ref_a"], r["ref_b"]) for r in mutual_knn_pairs(p, k=2).collect()
+    )
+    assert pairs_k2 == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_mutual_knn_matches_python_composition(spark):
+    rows = [("london", 1), ("londons", 2), ("lyon", 3), ("paris", 4), ("parish", 5)]
+    p = _postings(spark, rows)
+    knn = {(r["query_ref"], r["ref"]): (r["matches"], r["rank"])
+           for r in knn_join(p, k=2).collect()}
+    expected = sorted(
+        (a, b, knn[(a, b)][0], knn[(a, b)][1], knn[(b, a)][1])
+        for (a, b) in knn
+        if a < b and (b, a) in knn
+    )
+    got = sorted(
+        (r["ref_a"], r["ref_b"], r["matches"], r["rank_ab"], r["rank_ba"])
+        for r in mutual_knn_pairs(p, k=2).collect()
+    )
+    assert got == expected
