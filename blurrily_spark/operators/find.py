@@ -26,6 +26,11 @@ set ``broadcast_queries=False`` to let AQE pick shuffle-hash/SMJ on
 ``trigram``, which co-locates for free when postings are bucketed by
 trigram. The per-query top-k compiles to WindowGroupLimit (rank-limit
 pushdown), not a global sort.
+
+The batch generalizations :func:`knn_join` (per-record top-k over the
+whole corpus -- FIND with the corpus as queries) and
+:func:`mutual_knn_pairs` (reciprocal-kNN pair refinement) turn the read
+path into threshold-free ER candidate generation.
 """
 
 from __future__ import annotations
