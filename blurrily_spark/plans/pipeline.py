@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from blurrily_spark.functions.tokenizer import add_trigrams, with_normalized
 from blurrily_spark.operators.cluster import assign_entities, golden_records
+from blurrily_spark.operators.find import knn_join
 from blurrily_spark.operators.pairs import (
     candidate_pairs,
     hot_trigrams,
@@ -159,7 +160,22 @@ class LinkagePipeline:
         compute_jw: bool = True,
         jw_threshold: float | None = None,
         golden: bool = False,
+        candidate_mode: str = "threshold",
+        knn_k: int = 20,
     ):
+        # candidate_mode="knn": candidate generation via the per-record
+        # top-k similarity join (knn_join) instead of the full blocking
+        # self-join. The candidate set is then BOUNDED at n*knn_k pairs by
+        # construction -- the property thresholded blocking cannot offer at
+        # 10^12 turns, where a popular template's pair output is quadratic
+        # no matter the threshold. Exact matches/jaccard are restored per
+        # candidate (rescore_pairs_exact), so downstream thresholds keep
+        # their exact semantics; recall differs from "threshold" mode only
+        # for records with more than knn_k true near-dups (those pairs are
+        # still merged transitively by connected components whenever the
+        # kNN graph keeps each record connected to SOME duplicate).
+        if candidate_mode not in ("threshold", "knn"):
+            raise ValueError(f"unknown candidate_mode: {candidate_mode!r}")
         # salt_buckets="auto" (the default): the pipeline self-protects
         # against trigram skew. It runs hot_trigrams() over the postings
         # stage (one map-side-combined agg to <= 28^3 rows, driver-cheap)
@@ -181,6 +197,8 @@ class LinkagePipeline:
             "compute_jw": compute_jw,
             "jw_threshold": jw_threshold,
             "golden": golden,
+            "candidate_mode": candidate_mode,
+            "knn_k": knn_k,
         }
         self.metrics: dict[str, dict] = {}
         self._input_ident: dict | None = None
@@ -290,6 +308,29 @@ class LinkagePipeline:
 
         def _pairs():
             max_df = self.config["max_df"]
+            if self.config["candidate_mode"] == "knn":
+                # Bounded candidate generation: each record keeps its top-k
+                # FIND matches (directed), folded to unordered pair keys.
+                # Skew protection is inherent (<= k output rows per query
+                # record regardless of any trigram's df), so the salting
+                # machinery stays out of this plan.
+                self.metrics["pairs_salting"] = {
+                    "buckets": 0,
+                    "hot_df_threshold": None,
+                    "hot_key_count": 0,
+                    "active": False,
+                    "reason": f"knn candidates are bounded at k={self.config['knn_k']} per record",
+                }
+                knn = knn_join(postings, k=self.config["knn_k"], max_df=max_df)
+                cand = knn.select(
+                    F.least("query_ref", "ref").alias("ref_a"),
+                    F.greatest("query_ref", "ref").alias("ref_b"),
+                ).distinct()
+                recs = add_trigrams(
+                    turns.select("ref", "norm", "weight"), "norm", "trigrams"
+                )
+                exact = rescore_pairs_exact(cand, recs)
+                return exact.where(F.col("matches") >= self.config["min_matches"])
             salt_b, hot_keys = self._resolve_salting(postings)
             if max_df:
                 # Two-phase blocking (the scale path): hot trigrams are

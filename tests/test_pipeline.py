@@ -321,3 +321,35 @@ def test_capped_blocking_skips_salting_scan(spark, tmp_path, monkeypatch):
     pipe.run(t)
     m = pipe.metrics["pairs_salting"]
     assert m["active"] is False and "max_df" in m["reason"]
+
+
+def test_pipeline_knn_candidate_mode_f1(spark, tmp_path):
+    """candidate_mode='knn': bounded per-record candidate generation keeps
+    F1 >= 0.99 on the labeled corpus, and the pairs stage is provably
+    bounded at n_turns * knn_k (the property thresholded blocking lacks)."""
+    import pytest
+
+    transcripts = generate_transcripts(
+        spark, n_entities=12, variants_per_entity=3, turns_per_conv=3,
+        words_per_turn=8, n_perturbations=1, seed=11, with_truth=True,
+    )
+    pipe = LinkagePipeline(
+        spark, str(tmp_path), jaccard_threshold=0.55, min_matches=2,
+        candidate_mode="knn", knn_k=10,
+    )
+    entities = pipe.run(transcripts.drop("entity_true"))
+    truth_rows = transcripts.select(
+        F.xxhash64("conv_id", "turn_idx").alias("ref"), "entity_true", "turn_idx"
+    ).collect()
+    truth = {r["ref"]: (r["entity_true"], r["turn_idx"]) for r in truth_rows}
+    pred = {r["ref"]: r["entity_id"] for r in entities.collect()}
+    f1 = pairwise_f1(pred, truth)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} < 0.99 in knn candidate mode"
+
+    # the bound is structural: distinct unordered pairs from n*k directed edges
+    n_turns = transcripts.count()
+    assert pipe.metrics["pairs"]["rows"] <= n_turns * 10
+    assert pipe.metrics["pairs_salting"]["reason"].startswith("knn")
+
+    with pytest.raises(ValueError, match="candidate_mode"):
+        LinkagePipeline(spark, str(tmp_path), candidate_mode="bogus")
