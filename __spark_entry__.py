@@ -179,6 +179,18 @@ def q_knn_join(spark, sf_dir):
     return knn_join(_postings(spark, sf_dir, subset=True), k=5)
 
 
+def q_knn_cross(spark, sf_dir):
+    # cross-corpus kNN: every NEW document (truncated dup) ranked against
+    # the STORED subset -- the batch generalization of serving FIND for an
+    # incoming batch (top-1 should be each dup's source document)
+    base = _docs_subset(spark, sf_dir).select("doc_id", "text")
+    stored = build_postings(base, text_col="text", ref_col="doc_id", weight_col=None)
+    newp = build_postings(
+        _truncated_dups(base), text_col="text", ref_col="doc_id", weight_col=None
+    )
+    return knn_join(stored, k=3, query_postings=newp)
+
+
 def q_mutual_knn(spark, sf_dir):
     # reciprocal-kNN refinement of the top-5 graph: asymmetric hub edges
     # pruned with no similarity recomputation
@@ -932,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_delete": q_index_delete,
         "find_ranked": q_find,
         "knn_join": q_knn_join,
+        "knn_join_cross": q_knn_cross,
         "mutual_knn": q_mutual_knn,
         "blocking_pairs": q_pairs,
         "pairs_jaccard": q_pairs_jaccard,
@@ -1165,6 +1178,26 @@ SELECT n.ref AS id,
        CAST(coalesce(b.est_jaccard, 0.0) AS DOUBLE) AS est_jaccard,
        CAST(CASE WHEN b.ref_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
 FROM newc_norm n LEFT JOIN best b ON b.new_id = n.ref"""
+
+    out["knn_join_cross"] = f"""WITH {oracle.norm_cte('refc', ref_corpus, 'doc_id', 'text')},
+{oracle.trigram_ctes('refc')},
+{oracle.norm_cte('newc', new_corpus, 'doc_id', 'text')},
+{oracle.trigram_ctes('newc')},
+scored AS (
+  SELECT q.ref AS query_ref, h.ref AS ref, count(*) AS matches,
+         min(h.weight) AS weight
+  FROM newc_tg q JOIN refc_tg h USING (trigram)
+  WHERE q.ref <> h.ref
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_ref, ref, matches, weight,
+         CAST(row_number() OVER (
+           PARTITION BY query_ref
+           ORDER BY matches DESC, weight ASC, ref ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_ref, ref, matches, weight, rank FROM ranked WHERE rank <= 3"""
 
     out["duplicate_spans"] = f"""WITH {oracle.norm_cte('hay', dup_corpus, 'doc_id', 'text')},
 words AS (SELECT ref, string_split(norm, ' ') AS ws FROM hay_norm),
