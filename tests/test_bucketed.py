@@ -138,3 +138,33 @@ def test_bucketed_banded_reference_join_has_no_history_shuffle(spark, tmp_path):
         assert cand.count() > 0  # both docs sets overlap -> candidates exist
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_knn_join_has_no_join_shuffle(spark, tmp_path):
+    """knn_join over the bucketed stored layout (the bench's q_knn_join
+    shape): the directed self-join must be exchange-free on both sides --
+    the only shuffles allowed are the (query_ref, ref) collision agg and
+    the per-query window. The max_df broadcast prefilter must not break
+    the bucketed distribution (BroadcastHashJoin preserves the streamed
+    side's partitioning)."""
+    from blurrily_spark.operators.find import knn_join
+
+    save_postings_bucketed(
+        _postings(spark), "postings_bucketed_knn", str(tmp_path / "pbk"), buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("postings_bucketed_knn")
+        res = knn_join(t, k=3)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2, plan[:2000]
+        # no exchange below the trigram join: everything AFTER the last
+        # SortMergeJoin in the plan string is its input subtree
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, join_part[:2000]
+        # whole plan: collision agg + window = at most 2 repartitionings
+        assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+        assert res.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
