@@ -59,6 +59,8 @@ Queries:
                       exchange-free on both sides, the per-query top-k
                       is WindowGroupLimit; capped at CAP_DF like every
                       blocking query
+  q_mutual_knn     -- reciprocal-kNN pair refinement: one extra groupBy
+                      over the kNN graph (no second kNN computation)
   q_linkage_pipeline -- full transcripts->entities linkage run on a seeded
                         synthetic transcripts corpus sized to the SF
                         (materialized once to /tmp and reused)
@@ -494,6 +496,17 @@ def main() -> None:
         extras["knn_rows"] = knn_join(p, k=10, max_df=CAP_DF).count()
 
     timed("q_knn_join", _run_knn)
+
+    # the reciprocal refinement costs ONE extra partial-aggregating groupBy
+    # over the kNN graph (directed edges fold into unordered pair keys);
+    # mutual_rows/knn_rows is the hub-edge prune rate at this corpus
+    from blurrily_spark.operators.find import mutual_knn_pairs
+
+    def _run_mutual() -> None:
+        p = spark.table("bench_postings_bucketed")
+        extras["mutual_rows"] = mutual_knn_pairs(p, k=10, max_df=CAP_DF).count()
+
+    timed("q_mutual_knn", _run_mutual)
 
     # full linkage pipeline over synthetic transcripts -- registered like
     # every other query so its trials interleave too (a fresh workdir per
