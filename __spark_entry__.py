@@ -27,7 +27,7 @@ from blurrily_spark.operators.cluster import (
     golden_records,
 )
 from blurrily_spark.operators.events import session_stats, sessionize
-from blurrily_spark.operators.find import find, knn_join, mutual_knn_pairs
+from blurrily_spark.operators.find import find, find_idf, knn_join, mutual_knn_pairs
 from blurrily_spark.operators.linkage import FieldModel, estimate_m_u, fs_score
 from blurrily_spark.quality import (
     blocking_metrics,
@@ -171,6 +171,12 @@ def q_index_delete(spark, sf_dir):
 
 def q_find(spark, sf_dir):
     return find(_postings(spark, sf_dir), _queries_df(spark), limit=10)
+
+
+def q_find_idf(spark, sf_dir):
+    # rarity-weighted FIND: same gather join, ranked by summed trigram idf
+    # (engine-exact int64 RSJ weights) with F5's weight/ref tie-break
+    return find_idf(_postings(spark, sf_dir), _queries_df(spark), k=10)
 
 
 def q_knn_join(spark, sf_dir):
@@ -943,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "index_delete": q_index_delete,
         "find_ranked": q_find,
+        "find_idf": q_find_idf,
         "knn_join": q_knn_join,
         "knn_join_cross": q_knn_cross,
         "mutual_knn": q_mutual_knn,
@@ -1047,6 +1054,33 @@ SELECT count(DISTINCT ref) AS references, count(*) AS trigrams
 FROM hay_tg WHERE ref % 10 <> 3"""
 
     out["find_ranked"] = oracle.find_sql(docs, "doc_id", "text", NEEDLES, limit=10)
+
+    out["find_idf"] = f"""WITH {oracle.norm_cte('hay', docs, 'doc_id', 'text')},
+{oracle.trigram_ctes('hay')},
+{oracle.norm_cte('qq', oracle.queries_values(NEEDLES), 'query_id', 'needle')},
+{oracle.trigram_ctes('qq')},
+nn AS (SELECT count(DISTINCT ref) AS n FROM hay_tg),
+wdf AS (
+  SELECT trigram,
+         CAST(floor((n - df + 0.5) / (df + 0.5) * 1000000.0 + 0.5) AS BIGINT) AS w
+  FROM (SELECT trigram, count(*) AS df FROM hay_tg GROUP BY trigram)
+  CROSS JOIN nn
+),
+scored AS (
+  SELECT q.ref AS query_id, h.ref, count(*) AS matches,
+         CAST(sum(w.w) AS BIGINT) AS idf_score, min(h.weight) AS weight
+  FROM qq_tg q JOIN hay_tg h USING (trigram) JOIN wdf w USING (trigram)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, ref, matches, idf_score, weight,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY idf_score DESC, weight ASC, ref ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, ref, matches, idf_score, weight, rank
+FROM ranked WHERE rank <= 10"""
 
     out["knn_join"] = f"""WITH {oracle.norm_cte('hay', _SUBSET_SQL, 'doc_id', 'text')},
 {oracle.trigram_ctes('hay')},

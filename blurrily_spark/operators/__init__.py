@@ -1,5 +1,6 @@
 from blurrily_spark.operators.find import (  # noqa: F401
     find,
+    find_idf,
     find_one,
     knn_join,
     mutual_knn_pairs,

@@ -173,6 +173,89 @@ def knn_join(
     )
 
 
+def find_idf(
+    postings: DataFrame,
+    queries: DataFrame,
+    query_text_col: str = "needle",
+    query_id_col: str = "query_id",
+    k: int = LIMIT_DEFAULT,
+    scale: int = 1_000_000,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Rarity-weighted FIND: rank by summed trigram idf instead of raw count.
+
+    F4's ``matches`` treats a shared stopword-grade trigram ('e**'-class,
+    df in the thousands) and a shared rare one as equal evidence; the
+    reference has no notion of corpus statistics at all (its only ranking
+    inputs are the count and the stored weight, storage.h:99-109). This
+    variant scores each candidate by ``idf_score = sum(w(t))`` over the
+    shared trigrams with the RSJ-style rational idf ``w(t) = (N - df +
+    0.5) / (df + 0.5)`` scaled to int64 -- the same engine-exact weighting
+    as :func:`~blurrily_spark.operators.pairs.idf_weighted_pairs` (integer
+    sums are order-independent, so the score is bit-identical across
+    engines; see that docstring for the ``scale`` headroom rule). Ties
+    break like F5: weight ASC, then ref ASC.
+
+    Returns ``(query_id, ref, matches, idf_score, weight, rank)``, at most
+    ``k`` rows per query. ``matches`` is still reported, so callers can
+    threshold on raw evidence while ranking by rarity.
+
+    Scale shape: identical to :func:`find` plus one broadcast of the
+    <= 28^3-row weight table onto the postings side -- the df aggregation
+    is map-side combined and driver-small, the gather join and the
+    WindowGroupLimit top-k are unchanged.
+    """
+    from blurrily_spark.operators.pairs import trigram_df_counts
+
+    p = postings.select("trigram", "ref", "weight")
+    nn = p.agg(F.count_distinct("ref").alias("_n"))
+    w = (
+        trigram_df_counts(p)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "trigram",
+            F.floor(
+                (F.col("_n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_w"),
+        )
+    )
+    pw = p.join(F.broadcast(w), "trigram")
+
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        normalize(F.col(query_text_col)).alias("_norm"),
+    )
+    q = add_trigrams(q, "_norm", "_tg").select(
+        "query_id", F.explode("_tg").alias("trigram")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+
+    scored = (
+        q.join(pw, "trigram")
+        .groupBy("query_id", "ref")
+        .agg(
+            F.count(F.lit(1)).alias("matches"),
+            F.sum("_w").alias("idf_score"),
+            F.min("weight").alias("weight"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("idf_score").desc(), F.col("weight").asc(), F.col("ref").asc()
+    )
+    eff = LIMIT_DEFAULT if k is None or k <= 0 else int(k)
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= F.lit(eff))
+        .select("query_id", "ref", "matches", "idf_score", "weight", "rank")
+    )
+
+
 def mutual_knn_pairs(
     postings: DataFrame,
     k: int = LIMIT_DEFAULT,

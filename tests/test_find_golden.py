@@ -10,7 +10,13 @@ from __future__ import annotations
 
 from conftest import put_rows
 
-from blurrily_spark.operators.find import find, find_one, knn_join, mutual_knn_pairs
+from blurrily_spark.operators.find import (
+    find,
+    find_idf,
+    find_one,
+    knn_join,
+    mutual_knn_pairs,
+)
 from blurrily_spark.operators.index import (
     append_postings,
     build_postings,
@@ -295,3 +301,40 @@ def test_mutual_knn_matches_python_composition(spark):
         for r in mutual_knn_pairs(p, k=2).collect()
     )
     assert got == expected
+
+
+def test_find_idf_rare_evidence_outranks_common(spark):
+    # corpus: 'london' appears many times (its trigrams are stopword-grade),
+    # 'zyx' once (rare). The needle shares 3 common trigrams with doc 50 and
+    # fewer-but-rarer ones with doc 99 -- plain find ranks by count, idf
+    # ranks the rare evidence first.
+    rows = [("london road", r) for r in range(1, 9)]
+    rows += [("london", 50), ("zyxw", 99)]
+    p = _postings(spark, rows)
+    q = spark.createDataFrame([(0, "zyxw london")], "query_id long, needle string")
+    plain = {r["ref"]: r["rank"] for r in find(p, q, limit=20).collect()}
+    idf = {r["ref"]: r["rank"] for r in find_idf(p, q, k=20).collect()}
+    # plain count ranking: doc 50 ('london', 7 shared trigrams incl. edges)
+    # beats doc 99 ('zyxw', fewer shared trigrams)
+    assert plain[50] < plain[99]
+    # idf ranking: doc 99's rare trigrams outweigh doc 50's common ones
+    assert idf[99] < idf[50]
+
+
+def test_find_idf_tie_break_matches_f5(spark):
+    # identical docs tie on idf_score; F5's weight ASC then ref ASC applies
+    p = _postings(spark, [("paris", 3), ("paris", 1), ("paris", 2)])
+    q = spark.createDataFrame([(0, "paris")], "query_id long, needle string")
+    got = [(r["ref"], r["rank"]) for r in
+           find_idf(p, q, k=10).orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_find_idf_reports_raw_matches(spark):
+    # matches stays the raw intersection count (thresholdable) even though
+    # ranking uses idf_score
+    p = _postings(spark, [("london", 1)])
+    q = spark.createDataFrame([(0, "london")], "query_id long, needle string")
+    r = find_idf(p, q).collect()[0]
+    assert (r["ref"], r["matches"], r["weight"], r["rank"]) == (1, 7, 6, 1)
+    assert r["idf_score"] > 0
