@@ -10,6 +10,8 @@ Queries:
                       exchange-free on the postings side -- the cluster
                       storage layout, see operators/index.py:
                       save_postings_bucketed)
+  q_find_idf       -- rarity-weighted FIND over the same stored index
+                      (idf overlay cost vs q_find_batch)
   q_blocking_pairs -- candidate pairs + jaccard over the pair subset
   q_connected_components -- thresholded edges -> entity labels
   q_minhash_lsh    -- LSH near-dup pass over an SF-scaled dup-injected
@@ -211,6 +213,16 @@ def main() -> None:
         "q_find_batch",
         lambda: find_op(
             spark.table("bench_postings_bucketed"), em._queries_df(spark), limit=10
+        ).count(),
+    )
+    # rarity-weighted FIND over the same stored index: measures the idf
+    # overlay (one <= 28^3-row weight broadcast + sum agg) vs plain FIND
+    from blurrily_spark.operators.find import find_idf as find_idf_op
+
+    timed(
+        "q_find_idf",
+        lambda: find_idf_op(
+            spark.table("bench_postings_bucketed"), em._queries_df(spark), k=10
         ).count(),
     )
     timed("q_blocking_pairs", lambda: em.q_pairs_jaccard(spark, SF_DIR).count())
