@@ -25,6 +25,44 @@ LIMIT_RANGE = (1, 1024)  # lib/blurrily/defaults.rb:7
 # filter can never prune a row: excluding the rule is pure win.
 _EXCLUDED_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
+# A scan far smaller than one standard input split (guide: starved scan
+# parallelism) leaves every downstream per-row expression -- normalization,
+# MinHash signatures, cosine folds -- on the scan stage's 1-2 tasks while
+# the rest of the cluster idles: a single-row-group parquet file cannot be
+# split, so neither maxPartitionBytes nor minPartitionNum helps. Below this
+# byte bound the engine re-spreads the input across the session's shuffle
+# parallelism (one cheap shuffle of the raw rows); above it (any real
+# corpus) the scan already yields enough partitions and the spread is a
+# no-op by construction -- the bound is "well under one 128 MB split per
+# core", not a tuning knob for any particular host.
+SPREAD_MAX_BYTES = int(os.environ.get("BLURRILY_SPREAD_MAX_BYTES", str(64 << 20)))
+
+
+def spread_small_input(df, max_bytes: int | None = None):
+    """Repartition a *tiny* input to the session's shuffle parallelism so
+    per-row compute parallelizes; identity for streaming inputs and for
+    anything whose optimizer size estimate reaches ``max_bytes``.
+
+    Sizing uses the optimized plan's ``stats.sizeInBytes`` rather than
+    ``inputFiles``: it covers cached inputs (whose file scans are replaced
+    by InMemoryRelation with MEASURED size stats) and computed plans, and
+    the default size-only estimator never shrinks through filters, so a
+    big corpus can't masquerade as small. Measured: spreading the 10k-doc
+    bench corpus to 32 partitions takes the MinHash-LSH pass 5.3s -> 2.1s
+    warm (the signature stage was 2 tasks); identity at corpus scale."""
+    if max_bytes is None:
+        max_bytes = SPREAD_MAX_BYTES
+    try:
+        if df.isStreaming or max_bytes <= 0:
+            return df
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    if size >= max_bytes:
+        return df
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
 
 def tune_session(spark: "SparkSession") -> None:
     """Idempotently apply engine-required session tuning (safe to call on a
@@ -65,6 +103,29 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES, but this engine's
+        # downstream stages are expression-heavy joins that EXPAND rows (a
+        # 1.2 MB fingerprint shuffle feeds a 26M-row chunk join): with the
+        # default 1 MB floor a small shuffle coalesces to ONE task and
+        # serializes minutes of codegen'd work (measured on simhash). A
+        # smaller floor lets parallelism-first coalescing keep ~cores
+        # partitions for small shuffles; at scale totalBytes/parallelism
+        # dominates the floor, so large shuffles are sized exactly as
+        # before.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("BLURRILY_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
+        # Allow shuffled-hash joins where the per-partition build side fits
+        # (optimization guide §3.1/§9): most joins here are post-aggregation
+        # tables far under the threshold, and skipping both SMJ sorts is a
+        # straight win. Sort-merge remains the planner's fallback for big
+        # builds.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("BLURRILY_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

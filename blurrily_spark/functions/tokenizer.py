@@ -217,7 +217,11 @@ def _normalize_jvm(c: Column) -> Column:
 
 
 def with_normalized(
-    df, text_col: str, out_col: str = "norm", adaptive: bool | str = False
+    df,
+    text_col: str,
+    out_col: str = "norm",
+    adaptive: bool | str = False,
+    spread: bool = False,
 ):
     """Bulk normalization with a plan-level split: rows whose lowered text is
     ASCII/Latin take a branch containing NO Python node at all (the Arrow
@@ -225,6 +229,12 @@ def with_normalized(
     genuinely non-Latin rows flow through the exact-NFKD UDF branch. The
     union preserves S1 semantics exactly; row order is not preserved (no
     engine operator depends on it).
+
+    ``spread=True`` re-spreads a tiny file-backed scan across the session's
+    shuffle parallelism (:func:`blurrily_spark.config.spread_small_input`)
+    AFTER the probe, so the normalization and everything stacked on top of
+    it parallelize instead of running on the 1-2 tasks a single-row-group
+    file yields; a no-op at real corpus sizes.
 
     ``adaptive=True`` first runs a cheap single-column probe (filter +
     limit 1, column-pruned at the scan): if the input has no tier-4 rows --
@@ -238,11 +248,16 @@ def with_normalized(
     the lazy union plan -- so operator construction never launches a job on
     computed inputs and never throws on streaming ones.
     """
-    from blurrily_spark.config import tune_session
+    from blurrily_spark.config import spread_small_input, tune_session
 
     tune_session(df.sparkSession)
     if adaptive == "auto":
         adaptive = (not df.isStreaming) and bool(df.inputFiles())
+    probe_df = df
+    if spread:
+        # spread the returned plan only -- the probe below keeps running on
+        # the raw scan (column-pruned, no shuffle)
+        df = spread_small_input(df)
     c = F.lower(F.col(text_col))
     # ASCII test first: Spark's Or codegen short-circuits, so the expensive
     # ~300-char Latin class regex only ever runs on non-ASCII rows
@@ -253,7 +268,7 @@ def with_normalized(
         # matches (the common all-ASCII/Latin case) limit(1) degenerates to
         # serial partition waves (CollectLimit scale-up), which caps scaling;
         # the aggregation is one fully-parallel column-pruned scan.
-        has_exotic = df.agg(
+        has_exotic = probe_df.agg(
             F.max(
                 F.when(~latin_ok & F.col(text_col).isNotNull(), 1).otherwise(0)
             ).alias("x")

@@ -46,7 +46,9 @@ from blurrily_spark.functions.tokenizer import with_normalized
 
 
 def _norm(df: DataFrame, text_col: str) -> DataFrame:
-    return with_normalized(df, text_col, "_norm", adaptive="auto")
+    # spread=True: re-spread tiny file-backed scans so the gram explodes
+    # and token joins parallelize (no-op at corpus scale).
+    return with_normalized(df, text_col, "_norm", adaptive="auto", spread=True)
 
 
 def _gram_array(col, n: int, distinct: bool):

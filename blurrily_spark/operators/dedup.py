@@ -43,7 +43,9 @@ def _norm_col(df: DataFrame, text_col: str) -> DataFrame:
     # 'auto': an all-ASCII/Latin *file-backed* corpus compiles to a single
     # pure-JVM scan (no Arrow round-trip, no union); computed/streaming
     # inputs skip the eager probe -- see tokenizer.with_normalized.
-    return with_normalized(df, text_col, "_norm", adaptive="auto")
+    # spread=True: tiny file-backed scans are re-spread across the shuffle
+    # parallelism so shingling/hashing parallelize (no-op at corpus scale).
+    return with_normalized(df, text_col, "_norm", adaptive="auto", spread=True)
 
 
 def exact_duplicates(

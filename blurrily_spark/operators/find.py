@@ -151,11 +151,12 @@ def knn_join(
         keep = counts.where(F.col("df") <= max_df).select("trigram")
         # bounded by the 28^3 code space -> broadcast, never a shuffle
         p = p.join(F.broadcast(keep), "trigram")
+    # no query-side df-cap join: the inner join against the already-capped
+    # postings side p restricts to kept trigrams anyway (an explicit keep
+    # join here added a redundant broadcast join with no semantic effect)
     q = (query_postings if query_postings is not None else postings).select(
         "trigram", F.col("ref").alias("query_ref")
     )
-    if max_df is not None and query_postings is not None:
-        q = q.join(F.broadcast(keep), "trigram")
 
     joined = q.join(p, "trigram").where(F.col("query_ref") != F.col("ref"))
     scored = joined.groupBy("query_ref", "ref").agg(

@@ -41,6 +41,28 @@ def cosine(a, b):
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _py_l2_norm(vec) -> float:
+    """Driver-side twin of :func:`l2_norm`: strictly sequential
+    left-to-right double accumulation, so the result is bit-identical to
+    the JVM fold (both are correctly-rounded IEEE-754 ops in the same
+    order -- the same argument as :func:`_probe_buckets`)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cos_pre(a, b, na, nb):
+    """``cosine(a, b)`` with both row norms already materialized as
+    columns: ``dot/(na*nb)`` is the same expression tree in the same
+    order as ``dot/(l2_norm(a)*l2_norm(b))`` -- bit-identical output --
+    but each norm is computed once per ROW instead of once per PAIR,
+    cutting ~2/3 of the per-pair fold work (guide §1.2: per-task work)."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,17 +77,23 @@ def cosine_topk(
     The query side is broadcast (ANN query batches are dimension-sized);
     ties broken by vec_id ASC for determinism.
     """
+    from blurrily_spark.config import spread_small_input
+
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qv"),
+            l2_norm(F.col(query_vec_col)).alias("_qn"),
         )
     )
-    scored = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    scored = spread_small_input(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
     ).crossJoin(q).select(
         "query_id",
         "vec_id",
-        cosine(F.col("_v"), F.col("_qv")).alias("cos"),
+        _cos_pre(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn")).alias("cos"),
     )
     win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -87,12 +115,30 @@ def assign_buckets(
     at scale it comes out of a sampled k-means; here any deterministic
     sample works). Shipped as a literal array-of-arrays, evaluated JVM-side.
     """
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    scores = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
-    bucket = F.array_position(scores, F.array_max(scores)) - 1
-    return corpus.select(
+    # Per-centroid scores as an UNROLLED array over a staged row norm: the
+    # old transform() over a literal centroid array recomputed l2_norm(vec)
+    # once per centroid and l2_norm(c) once per (row, centroid); here the
+    # row norm is one staged column (multi-referenced, so CollapseProject
+    # cannot re-inline it -- the add_trigrams staging argument) and each
+    # centroid norm is a Python-computed literal (bit-identical to the JVM
+    # fold: same IEEE ops in the same order, see _py_l2_norm). Same scores,
+    # same bucket, ~2x less fold work per row.
+    pre = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nv"),
+    )
+    scores = F.array(
+        *[
+            dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in c]))
+            / (F.col("_nv") * F.lit(_py_l2_norm(c)))
+            for c in centroids
+        ]
+    )
+    bucket = F.array_position(scores, F.array_max(scores)) - 1
+    return pre.select(
+        "vec_id",
+        "_v",
         bucket.cast("int").alias("bucket"),
     )
 
@@ -116,24 +162,31 @@ def ivf_topk(
     :func:`save_ivf_index` + :func:`ivf_topk_stored`, which is plan- and
     behaviorally-verified to touch only probed buckets.
     """
-    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    from blurrily_spark.config import spread_small_input
+
+    bucketed = assign_buckets(
+        spread_small_input(corpus), centroids, id_col, vec_col
+    ).select("vec_id", "_v", "bucket", l2_norm(F.col("_v")).alias("_n"))
 
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     qscores = F.transform(cents, lambda c: cosine(F.col("_qv"), c))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qv"),
+        l2_norm(F.col(query_vec_col)).alias("_qn"),
         qscores.alias("_cs"),
     )
     # nprobe nearest buckets: rank centroid scores, keep top nprobe indices
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     ranked = F.reverse(F.array_sort(F.zip_with(F.col("_cs"), idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))))
     probes = F.transform(F.slice(ranked, 1, nprobe), lambda p: p["i"])
-    q = q.select("query_id", "_qv", F.explode(probes).alias("bucket"))
+    q = q.select("query_id", "_qv", "_qn", F.explode(probes).alias("bucket"))
 
     joined = bucketed.join(F.broadcast(q), "bucket")
     scored = joined.select(
-        "query_id", "vec_id", cosine(F.col("_v"), F.col("_qv")).alias("cos")
+        "query_id",
+        "vec_id",
+        _cos_pre(F.col("_v"), F.col("_qv"), F.col("_n"), F.col("_qn")).alias("cos"),
     )
     win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -274,9 +327,17 @@ def ivf_topk_stored(
         probe_rows, f"query_id long, _qv array<double>, bucket int"
     )
     all_buckets = sorted({b for _, _, b in probe_rows})
-    corpus = spark.read.parquet(path).where(F.col("bucket").isin(all_buckets))
-    scored = corpus.join(F.broadcast(probes), "bucket").select(
-        "query_id", "vec_id", cosine(F.col("embedding"), F.col("_qv")).alias("cos")
+    corpus = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(all_buckets))
+        .select("vec_id", "embedding", "bucket", l2_norm(F.col("embedding")).alias("_n"))
+    )
+    scored = corpus.join(
+        F.broadcast(probes.withColumn("_qn", l2_norm(F.col("_qv")))), "bucket"
+    ).select(
+        "query_id",
+        "vec_id",
+        _cos_pre(F.col("embedding"), F.col("_qv"), F.col("_n"), F.col("_qn")).alias("cos"),
     )
     win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -409,12 +470,26 @@ def cosine_near_dup_pairs(
     baseline that validates :func:`rp_lsh_near_dup_pairs` (the scale path).
     Returns (id_a, id_b, cos).
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    from blurrily_spark.config import spread_small_input
+
+    withn = spread_small_input(emb).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    a = withn.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = withn.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            _cos_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -474,13 +549,16 @@ def rp_lsh_near_dup_pairs(
     """
     from blurrily_spark.functions.hashing import chunk_bounds
 
+    from blurrily_spark.config import spread_small_input
+
     if dim is None:
         first = emb.select(F.size(vec_col)).first()
         dim = int(first[0])
     planes = random_hyperplanes(n_bits, dim, seed)
-    sigs = emb.select(
+    sigs = spread_small_input(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
         rp_signature(F.col(vec_col), planes).alias("sig"),
     )
     chunk_structs = [
@@ -491,10 +569,19 @@ def rp_lsh_near_dup_pairs(
         for c, (lo, hi) in enumerate(chunk_bounds(max_hamming + 1, n_bits))
     ]
     chunks = sigs.select(
-        "id", "_v", F.explode(F.array(*chunk_structs)).alias("ck")
-    ).select("id", "_v", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
-    a = chunks.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "chunk", "ckey")
-    b = chunks.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "chunk", "ckey")
+        "id", "_v", "_n", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select(
+        "id", "_v", "_n",
+        F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"),
+    )
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "chunk", "ckey",
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "chunk", "ckey",
+    )
     # cosine rescore + threshold BEFORE the pair dedup: the cosine is a pure
     # function of the pair (identical on every chunk collision of the same
     # pair, so filter/dedup commute), and scoring per collision row is a few
@@ -505,7 +592,11 @@ def rp_lsh_near_dup_pairs(
     return (
         a.join(b, ["chunk", "ckey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            _cos_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -551,13 +642,29 @@ def semantic_dedup(
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}")
 
-    assigned = assign_buckets(emb, centroids, id_col, vec_col)
-    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "bucket")
-    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket")
+    from blurrily_spark.config import spread_small_input
+
+    assigned = assign_buckets(spread_small_input(emb), centroids, id_col, vec_col)
+    # Row norms materialized BELOW the pair join (bit-identical cosine, see
+    # _cos_pre): the within-cluster join scores ~|cluster|^2 pairs, so
+    # computing each norm once per row instead of once per pair removes
+    # ~2/3 of the fold work in the dominant stage.
+    withn = assigned.select("vec_id", "_v", "bucket", l2_norm(F.col("_v")).alias("_n"))
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket",
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket",
+    )
     edges = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .where(
+            _cos_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
+            >= threshold
+        )
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     comps = connected_components(edges).withColumnRenamed("ref", "id")

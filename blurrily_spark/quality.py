@@ -133,7 +133,9 @@ def blocking_metrics(
     )
 
     one = totals.crossJoin(cstats)
-    total_pairs = (F.col("n_items") * (F.col("n_items") - 1) / 2).cast("long")
+    # integer DIV keeps n(n-1)/2 exact past 2^53 (n ~ 1.3e8), matching the
+    # true_matches expression above; identical values at any smaller n
+    total_pairs = F.expr("(n_items * (n_items - 1)) DIV 2")
     rr = F.when(
         total_pairs > 0, F.lit(1.0) - F.col("n_candidates") / total_pairs
     ).otherwise(F.lit(0.0))
