@@ -554,6 +554,14 @@ def meta_blocking_prune(
     """
     if scheme not in ("wnp", "wep"):
         raise ValueError(f"unknown meta-blocking scheme: {scheme!r}")
+    # Materialize the candidate graph ONCE (eager, like connected_components'
+    # per-round checkpoint): every pruning scheme consumes ``edges`` at least
+    # three times (the surviving stream + per-node/global stats built from a
+    # union of two directed views), and Spark re-derives the full blocking
+    # self-join per consumer -- measured 3x the dominant stage on the bench
+    # graph, with the copies racing to fill the same cache. At scale this is
+    # the same decision as staging the candidate table before pruning.
+    edges = edges.localCheckpoint()
     w = F.col(weight_col)
     if scheme == "wep":
         # one-row global stats; crossJoin broadcasts it to every partition

@@ -172,7 +172,7 @@ def build_queries(spark):
                 spark, workdir, jaccard_threshold=0.55, min_matches=3, max_df=64
             )
             pipe.run(transcripts).count()
-            print("stage seconds:", {k: v["seconds"] for k, v in pipe.metrics.items()})
+            print("stage seconds:", {k: v.get("seconds") for k, v in pipe.metrics.items() if isinstance(v, dict)})
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
 
