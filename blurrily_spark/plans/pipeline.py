@@ -284,6 +284,18 @@ class LinkagePipeline:
         }
         return (b if hot else None), hot
 
+    def _rescore_recs(self, turns: DataFrame) -> DataFrame:
+        """(ref, trigrams, weight) side table for rescore_pairs_exact,
+        materialized ONCE (eager localCheckpoint): the rescore joins it on
+        ref_a AND ref_b, and Spark otherwise re-runs the whole tokenization
+        per join side -- measured one full add_trigrams pass (~turns-sized)
+        of pure waste per pairs build. Rows are (long, ~len+1 ints, int),
+        so the materialization is far smaller than the pair stream it
+        feeds."""
+        return add_trigrams(
+            turns.select("ref", "norm", "weight"), "norm", "trigrams"
+        ).localCheckpoint()
+
     def _load_or(self, stage: str, build) -> DataFrame:
         if self._is_done(stage):
             out = self.spark.read.parquet(self._path(stage))
@@ -326,10 +338,7 @@ class LinkagePipeline:
                     F.least("query_ref", "ref").alias("ref_a"),
                     F.greatest("query_ref", "ref").alias("ref_b"),
                 ).distinct()
-                recs = add_trigrams(
-                    turns.select("ref", "norm", "weight"), "norm", "trigrams"
-                )
-                exact = rescore_pairs_exact(cand, recs)
+                exact = rescore_pairs_exact(cand, self._rescore_recs(turns))
                 return exact.where(F.col("matches") >= self.config["min_matches"])
             salt_b, hot_keys = self._resolve_salting(postings)
             if max_df:
@@ -350,10 +359,7 @@ class LinkagePipeline:
                     # shuffle -- the pipeline's dominant shuffle
                     keys_only=True,
                 )
-                recs = add_trigrams(
-                    turns.select("ref", "norm", "weight"), "norm", "trigrams"
-                )
-                exact = rescore_pairs_exact(cand, recs)
+                exact = rescore_pairs_exact(cand, self._rescore_recs(turns))
                 return exact.where(F.col("matches") >= self.config["min_matches"])
             raw = candidate_pairs(
                 postings,

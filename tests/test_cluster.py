@@ -81,7 +81,9 @@ def test_iteration_checkpoints_are_freed(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "src long, dst long"
     )
-    labels = connected_components(edges)
+    # driver_max_edges=0: this test pins the DISTRIBUTED loop's checkpoint
+    # hygiene, so the small-graph driver path must not short-circuit it
+    labels = connected_components(edges, driver_max_edges=0)
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, f"leaked {after - before} checkpoint RDDs"
     got = {r["ref"]: r["entity_id"] for r in labels.collect()}
@@ -107,7 +109,9 @@ def test_one_job_per_iteration(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.setJobGroup("cc-jobs-pin", "count jobs per CC round")
     try:
-        labels = connected_components(edges, stats=stats)
+        # driver_max_edges=0 pins the distributed loop (the driver path
+        # would make rounds == 0 and run no per-round jobs at all)
+        labels = connected_components(edges, stats=stats, driver_max_edges=0)
     finally:
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -121,6 +125,30 @@ def test_one_job_per_iteration(spark):
     # and the labels are still correct
     got = {r["ref"]: r["entity_id"] for r in labels.collect()}
     assert set(got.values()) == {0} and len(got) == 65
+
+
+def test_driver_path_equals_distributed(spark):
+    """The small-graph driver union-find must produce EXACTLY the labels of
+    the large-star/small-star loop (and of the Python oracle above)."""
+    rng = random.Random(13)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(180)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    stats_d: dict = {}
+    drv = {
+        (r["ref"], r["entity_id"])
+        for r in connected_components(edf, stats=stats_d).collect()
+    }
+    assert stats_d.get("driver_path") is True and stats_d["rounds"] == 0
+    stats_x: dict = {}
+    dist = {
+        (r["ref"], r["entity_id"])
+        for r in connected_components(edf, stats=stats_x, driver_max_edges=0).collect()
+    }
+    assert stats_x.get("driver_path") is None and stats_x["rounds"] >= 1
+    assert drv == dist
+    expected = union_find_components(edges, {n for e in edges for n in e})
+    assert {r: e for r, e in drv} == expected
 
 
 def test_golden_records_survivorship(spark):
