@@ -263,16 +263,18 @@ def minhash_signatures(
             lambda s: _shingle_hash(s, hash_fn),
         ).alias("_h"),
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_h"),
-                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE)),
-                )
-            )
+    # One F.expr over a generated SQL string instead of num_hashes * ~8
+    # Column calls: each Column op is a py4j round-trip, and building the
+    # 32-permutation array cost ~0.5s of DRIVER time per operator call --
+    # paid per bench trial, not per row (guide §1.1: measure where the time
+    # goes; here it was plan construction, not execution). Same expression
+    # per element (pmod(a*h+b, p), a/b as bigint literals), identical values.
+    sig = F.expr(
+        "array(%s)"
+        % ", ".join(
+            f"array_min(transform(_h, h -> pmod({a}L * h + {b}L, {MERSENNE}L)))"
             for a, b in params
-        ]
+        )
     )
     return base.select("id", sig.alias("sig"))
 
@@ -773,6 +775,7 @@ def duplicate_span_positions(
     min_docs: int = 2,
     hash_fn: str = "exact",
     stride: int = 1,
+    with_win: bool = True,
 ) -> DataFrame:
     """Per-span cut points for :func:`duplicate_spans` (round-3 verdict
     #7): one row per OCCURRENCE of a duplicated window --
@@ -806,13 +809,20 @@ def duplicate_span_positions(
     ).select("id", F.col("s.start").alias("start_word"), F.col("s.win").alias("win"))
     key = F.xxhash64("win") if hash_fn == "fast" else F.col("win")
     keyed = exploded.withColumn("wk", key)
+    if not with_win:
+        # consumers that only need cut points (cut_duplicate_spans) drop the
+        # w-word window string BEFORE the dup-key joins, so the occurrence
+        # stream ships (id, start_word, wk) instead of carrying every span
+        # text through the shuffle
+        keyed = keyed.select("id", "start_word", "wk")
     dup_keys = (
         keyed.groupBy("wk")
         .agg(F.count_distinct("id").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
         .select("wk")
     )
-    return keyed.join(dup_keys, "wk", "left_semi").select("id", "start_word", "win")
+    out_cols = ["id", "start_word"] + (["win"] if with_win else [])
+    return keyed.join(dup_keys, "wk", "left_semi").select(*out_cols)
 
 
 def cut_duplicate_spans(
@@ -841,7 +851,7 @@ def cut_duplicate_spans(
     holds). No pairwise work anywhere.
     """
     positions = duplicate_span_positions(
-        df, id_col, text_col, w, min_docs, hash_fn, stride
+        df, id_col, text_col, w, min_docs, hash_fn, stride, with_win=False
     )
     d = _norm_col(df, text_col)
     words = F.split(F.col("_norm"), " ")
@@ -923,34 +933,39 @@ def simhash62(
         F.explode(F.split(F.col("_norm"), " ")).alias("tok"),
     )
     toks = _token_hashes(toks, hash_fn)
+    # The packed-lane aggregates and the 62-term fingerprint fold are built
+    # as generated SQL strings (one F.expr each) instead of hundreds of
+    # Column calls: every Column op is a py4j round-trip and the old
+    # construction cost ~1.4s of driver time PER OPERATOR CALL -- larger
+    # than the query's whole executor time at bench scale. Expressions are
+    # term-for-term the same integer arithmetic, so fingerprints are
+    # unchanged.
     n_packs = -(-SIMHASH_BITS // SIMHASH_LANES)
     aggs = []
     for j in range(n_packs):
-        terms = None
+        terms = []
         for i in range(SIMHASH_LANES):
             k = SIMHASH_LANES * j + i
             if k >= SIMHASH_BITS:
                 break
             src, bit = ("h1", k) if k < 31 else ("h2", k - 31)
-            t = F.shiftleft(
-                F.shiftright(F.col(src), bit).bitwiseAND(F.lit(1)),
-                SIMHASH_LANE_BITS * i,
+            terms.append(
+                f"shiftleft(shiftright({src}, {bit}) & 1, {SIMHASH_LANE_BITS * i})"
             )
-            terms = t if terms is None else terms + t
-        aggs.append(F.sum(terms).alias(f"p{j}"))
+        aggs.append(F.expr("sum(%s)" % " + ".join(terms)).alias(f"p{j}"))
     aggs.append(F.count(F.lit(1)).alias("n"))
     agg = toks.groupBy("id").agg(*aggs)
-    lane_mask = F.lit((1 << SIMHASH_LANE_BITS) - 1)
-    fp = None
+    lane_mask = (1 << SIMHASH_LANE_BITS) - 1
+    fp_terms = []
     for k in range(SIMHASH_BITS):
         j, i = divmod(k, SIMHASH_LANES)
-        c1 = F.shiftright(F.col(f"p{j}"), SIMHASH_LANE_BITS * i).bitwiseAND(lane_mask)
         # bit = sign(sum over tokens of +-1) > 0  <=>  2 * ones > n
-        bit = F.when(c1 * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        fp_terms.append(
+            f"shiftleft(CASE WHEN (shiftright(p{j}, {SIMHASH_LANE_BITS * i})"
+            f" & {lane_mask}) * 2 > n THEN CAST(1 AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END, {k})"
         )
-        term = F.shiftleft(bit, k)
-        fp = term if fp is None else fp + term  # disjoint bits: + == OR
+    fp = F.expr(" + ".join(fp_terms))  # disjoint bits: + == OR
     guard = F.when(
         F.col("n") >= F.lit(1 << SIMHASH_LANE_BITS),
         F.raise_error(

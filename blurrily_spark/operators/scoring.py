@@ -149,23 +149,44 @@ def with_edit_distance(
     if max_dist is not None and max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     texts = records.select(F.col("ref"), F.col(text_col).alias("_t"))
-    out = pairs.join(
-        texts.select(F.col("ref").alias("ref_a"), F.col("_t").alias("_ta")), "ref_a"
-    ).join(
-        texts.select(F.col("ref").alias("ref_b"), F.col("_t").alias("_tb")), "ref_b"
-    )
     if max_dist is None:
-        out = out.withColumn("edit_dist", F.levenshtein("_ta", "_tb"))
-    else:
-        out = (
-            out.where(
-                F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(int(max_dist))
-            )
-            .withColumn(
-                "edit_dist", F.levenshtein(F.col("_ta"), F.col("_tb"), int(max_dist))
-            )
-            .where(F.col("edit_dist") >= 0)
+        out = pairs.join(
+            texts.select(F.col("ref").alias("ref_a"), F.col("_t").alias("_ta")), "ref_a"
+        ).join(
+            texts.select(F.col("ref").alias("ref_b"), F.col("_t").alias("_tb")), "ref_b"
         )
+        return out.withColumn("edit_dist", F.levenshtein("_ta", "_tb")).drop(
+            "_ta", "_tb"
+        )
+    # Decide with small rows, move big rows once (guide §8): the length-gap
+    # prune needs only each side's LENGTH, so join the ~12-byte (ref, len)
+    # table first and let the filter cut the pair stream BEFORE the text
+    # payloads are joined -- the full strings are shuffled only for pairs
+    # that can still pass, instead of for every raw candidate. Identical
+    # output: a pair dropped here has |len gap| > k and so levenshtein > k.
+    lens = texts.select("ref", F.length("_t").alias("_l"))
+    pruned = (
+        pairs.join(
+            lens.select(F.col("ref").alias("ref_a"), F.col("_l").alias("_la")), "ref_a"
+        )
+        .join(
+            lens.select(F.col("ref").alias("ref_b"), F.col("_l").alias("_lb")), "ref_b"
+        )
+        .where(F.abs(F.col("_la") - F.col("_lb")) <= F.lit(int(max_dist)))
+        .drop("_la", "_lb")
+    )
+    out = (
+        pruned.join(
+            texts.select(F.col("ref").alias("ref_a"), F.col("_t").alias("_ta")), "ref_a"
+        )
+        .join(
+            texts.select(F.col("ref").alias("ref_b"), F.col("_t").alias("_tb")), "ref_b"
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("_ta"), F.col("_tb"), int(max_dist))
+        )
+        .where(F.col("edit_dist") >= 0)
+    )
     return out.drop("_ta", "_tb")
 
 

@@ -54,6 +54,41 @@ def _py_l2_norm(vec) -> float:
     return math.sqrt(acc)
 
 
+def _lit_vec(vec):
+    """Literal ``array<double>`` built in ONE ``F.expr`` py4j call instead
+    of one ``F.lit`` round-trip per element (a 64-dim codebook of 16
+    centroids otherwise costs ~1000 driver round-trips per operator call).
+    ``repr(float)`` round-trips doubles exactly and SQL decimal/scientific
+    literals cast to the nearest double, so every element is bit-identical
+    to ``F.lit(float(x))``."""
+    return F.expr(
+        "array(%s)" % ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
+    )
+
+
+def _dot_sql(col_name: str, vec) -> str:
+    """SQL text of ``dot(col, literal vec)`` -- the same ordered
+    zip_with/aggregate fold as :func:`dot` (identical casts, double 0.0
+    init, left-to-right accumulation), emitted as a string so an unrolled
+    k-centroid score array costs ONE py4j call instead of ~10 per
+    centroid."""
+    arr = "array(%s)" % ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
+    return (
+        f"aggregate(zip_with(`{col_name}`, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _lit_mat(vecs):
+    """Literal ``array<array<double>>`` in one py4j call (see _lit_vec)."""
+    inner = ", ".join(
+        "array(%s)" % ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in v)
+        for v in vecs
+    )
+    return F.expr(f"array({inner})")
+
+
 def _cos_pre(a, b, na, nb):
     """``cosine(a, b)`` with both row norms already materialized as
     columns: ``dot/(na*nb)`` is the same expression tree in the same
@@ -128,12 +163,12 @@ def assign_buckets(
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_nv"),
     )
-    scores = F.array(
-        *[
-            dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in c]))
-            / (F.col("_nv") * F.lit(_py_l2_norm(c)))
+    scores = F.expr(
+        "array(%s)"
+        % ", ".join(
+            f"{_dot_sql('_v', c)} / (_nv * CAST({_py_l2_norm(c)!r} AS DOUBLE))"
             for c in centroids
-        ]
+        )
     )
     bucket = F.array_position(scores, F.array_max(scores)) - 1
     return pre.select(
@@ -168,7 +203,7 @@ def ivf_topk(
         spread_small_input(corpus), centroids, id_col, vec_col
     ).select("vec_id", "_v", "bucket", l2_norm(F.col("_v")).alias("_n"))
 
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cents = _lit_mat(centroids)
     qscores = F.transform(cents, lambda c: cosine(F.col("_qv"), c))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -403,7 +438,7 @@ def maxmin_centroids(
     )
     cents = [list(map(float, first))]
     for _ in range(k - 1):
-        lits = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        lits = _lit_mat(cents)
         near = F.array_max(F.transform(lits, lambda c: cosine(F.col(vec_col), c)))
         row = (
             corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), near.alias("_near"))
@@ -510,9 +545,20 @@ def rp_signature(vec_col, planes: list[list[float]]):
     almost every bit and Hamming-chunk blocking applies unchanged.
     """
     assert len(planes) <= 62
+    if isinstance(vec_col, str):
+        # generated-SQL path (one py4j call for all n_bits plane dots --
+        # the Column loop cost ~1.5s of driver time per operator call);
+        # term-for-term the same expressions as the Column path below
+        return F.expr(
+            " + ".join(  # disjoint bits: + == OR
+                f"shiftleft(CASE WHEN {_dot_sql(vec_col, p)} > 0 "
+                f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, {j})"
+                for j, p in enumerate(planes)
+            )
+        )
     sig = None
     for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = _lit_vec(p)
         bit = F.when(dot(vec_col, plane) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -559,7 +605,7 @@ def rp_lsh_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
-        rp_signature(F.col(vec_col), planes).alias("sig"),
+        rp_signature(vec_col, planes).alias("sig"),
     )
     chunk_structs = [
         F.struct(
@@ -679,7 +725,7 @@ def semantic_dedup(
     # far_from_centroid: keeper = argmin (centroid cosine, id) per component.
     # min(struct(...)) is one partial-aggregating shuffle over dup-group
     # members only -- no window, no id negation (ANSI-safe tie-break).
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cents = _lit_mat(centroids)
     ccos = cosine(F.col("_v"), F.element_at(cents, F.col("bucket") + 1))
     members = assigned.select(
         F.col("vec_id").cast("long").alias("id"), ccos.alias("_ccos")
