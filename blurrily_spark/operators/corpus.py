@@ -387,7 +387,13 @@ def lm_score(
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
     t_toks = _token_rows(train, id_col, text_col)
-    uni = t_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # The unigram table is consumed THREE times (corpus stats + the w and
+    # w_prev scoring joins) and Spark otherwise re-runs the train-side
+    # explode+aggregate per consumer; one eager materialization of the
+    # vocabulary-sized aggregate (the meta_blocking_prune pattern) keeps
+    # the token explode at one pass. Vocabulary rows are tiny relative to
+    # the corpus at any scale.
+    uni = t_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
     stats = uni.agg(
         F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")
     )
