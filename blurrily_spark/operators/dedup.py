@@ -745,7 +745,12 @@ def duplicate_spans(
         F.col(id_col).cast("long").alias("id"), F.explode(wins).alias("win")
     )
     key = F.xxhash64("win") if hash_fn == "fast" else F.col("win")
-    keyed = exploded.select("id", key.alias("wk"))
+    # materialize the keyed window stream ONCE (eager, the
+    # meta_blocking_prune pattern): it feeds THREE consumers (window
+    # document frequency, per-doc totals, per-doc dup counts) and Spark
+    # otherwise re-runs the normalize+explode per consumer -- measured 3x
+    # the explode cost; the checkpoint rows are just (id, wk)
+    keyed = exploded.select("id", key.alias("wk")).localCheckpoint()
     dup_keys = (
         keyed.groupBy("wk")
         .agg(F.count_distinct("id").alias("n_docs"))
@@ -815,6 +820,9 @@ def duplicate_span_positions(
         # stream ships (id, start_word, wk) instead of carrying every span
         # text through the shuffle
         keyed = keyed.select("id", "start_word", "wk")
+    # materialized once (eager): consumed by the document-frequency
+    # aggregation AND the occurrence semi-join -- see duplicate_spans
+    keyed = keyed.localCheckpoint()
     dup_keys = (
         keyed.groupBy("wk")
         .agg(F.count_distinct("id").alias("n_docs"))
