@@ -331,7 +331,14 @@ class LinkagePipeline:
                     "hot_df_threshold": None,
                     "hot_key_count": 0,
                     "active": False,
-                    "reason": f"knn candidates are bounded at k={self.config['knn_k']} per record",
+                    # OUTPUT is k-bounded per record; the directed trigram
+                    # join's WORK under a hot key is bounded only when
+                    # max_df caps it -- set max_df on skewed corpora
+                    "reason": (
+                        f"knn candidate OUTPUT is bounded at k={self.config['knn_k']} "
+                        f"per record; join work under hot trigrams is capped by "
+                        f"max_df={max_df}" + ("" if max_df else " (unset: uncapped)")
+                    ),
                 }
                 knn = knn_join(postings, k=self.config["knn_k"], max_df=max_df)
                 cand = knn.select(
