@@ -116,12 +116,15 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("BLURRILY_AQE_MIN_PARTITION_SIZE", "64k"),
         )
-        # Allow shuffled-hash joins where the per-partition build side fits
-        # (optimization guide §3.1/§9): most joins here are post-aggregation
-        # tables far under the threshold, and skipping both SMJ sorts is a
-        # straight win. Sort-merge remains the planner's fallback for big
-        # builds.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shuffled-hash joins only via AQE's runtime conversion (guide
+        # §3.1): with this threshold AQE rewrites a sort-merge join to
+        # shuffled-hash when every post-shuffle partition's MEASURED size
+        # fits, skipping both sorts with no OOM exposure. The static
+        # preferSortMergeJoin=false route is deliberately NOT taken: it
+        # picks SHJ from size *estimates*, and an underestimated or skewed
+        # build partition (a hot-trigram posting list in the d^2
+        # self-joins) must fit its hash map in memory where sort-merge
+        # would have spilled.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("BLURRILY_SHJ_LOCAL_MAP_THRESHOLD", "64m"),

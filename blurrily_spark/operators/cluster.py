@@ -20,6 +20,8 @@ table write per iteration, which also gives checkpoint-resume).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -86,8 +88,6 @@ def _fingerprint_metrics() -> list:
         F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
     ]
 
-
-import os
 
 # Below this many edges the graph is trivially driver-sized (two longs per
 # edge; 100k edges ~ a few MB collected) and the distributed loop's

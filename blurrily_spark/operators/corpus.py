@@ -392,7 +392,8 @@ def lm_score(
     # explode+aggregate per consumer; one eager materialization of the
     # vocabulary-sized aggregate (the meta_blocking_prune pattern) keeps
     # the token explode at one pass. Vocabulary rows are tiny relative to
-    # the corpus at any scale.
+    # the corpus at any scale. EAGER (construction-time job); blocks live
+    # until periodic GC -- the documented localCheckpoint trade.
     uni = t_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
     stats = uni.agg(
         F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v")

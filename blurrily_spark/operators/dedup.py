@@ -749,7 +749,8 @@ def duplicate_spans(
     # meta_blocking_prune pattern): it feeds THREE consumers (window
     # document frequency, per-doc totals, per-doc dup counts) and Spark
     # otherwise re-runs the normalize+explode per consumer -- measured 3x
-    # the explode cost; the checkpoint rows are just (id, wk)
+    # the explode cost; the checkpoint rows are just (id, wk). EAGER
+    # (construction-time job); blocks live until periodic GC.
     keyed = exploded.select("id", key.alias("wk")).localCheckpoint()
     dup_keys = (
         keyed.groupBy("wk")

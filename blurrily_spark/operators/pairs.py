@@ -561,6 +561,12 @@ def meta_blocking_prune(
     # self-join per consumer -- measured 3x the dominant stage on the bench
     # graph, with the copies racing to fill the same cache. At scale this is
     # the same decision as staging the candidate table before pruning.
+    # EAGER: the checkpoint runs the upstream job at operator-construction
+    # time (streaming inputs are unsupported here), and its blocks live
+    # until the JVM's periodic ContextCleaner GC -- the documented
+    # localCheckpoint trade (see cluster._checkpoint_rdd). Appropriate for
+    # batch analytics; a service looping these per-request should recycle
+    # its session periodically.
     edges = edges.localCheckpoint()
     w = F.col(weight_col)
     if scheme == "wep":

@@ -159,21 +159,42 @@ def with_edit_distance(
             "_ta", "_tb"
         )
     # Decide with small rows, move big rows once (guide §8): the length-gap
-    # prune needs only each side's LENGTH, so join the ~12-byte (ref, len)
-    # table first and let the filter cut the pair stream BEFORE the text
-    # payloads are joined -- the full strings are shuffled only for pairs
-    # that can still pass, instead of for every raw candidate. Identical
-    # output: a pair dropped here has |len gap| > k and so levenshtein > k.
-    lens = texts.select("ref", F.length("_t").alias("_l"))
+    # prune needs only LENGTHS, so a per-ref aggregated (ref, min_len,
+    # max_len) table joins first -- exactly one row per ref, so join
+    # multiplicity is untouched even when ``records`` carries duplicate
+    # refs -- and a pair survives the conservative interval test iff SOME
+    # text combination could pass ``|len gap| <= k``. Only survivors join
+    # the full text payloads, where the EXACT per-row length filter (same
+    # predicate as before this optimization) and the thresholded
+    # levenshtein run unchanged: identical rows out, far fewer strings
+    # shuffled in.
+    lens = texts.groupBy("ref").agg(
+        F.min(F.length("_t")).alias("_lmin"), F.max(F.length("_t")).alias("_lmax")
+    )
+    gap = F.greatest(
+        F.col("_lmin_a") - F.col("_lmax_b"),
+        F.col("_lmin_b") - F.col("_lmax_a"),
+        F.lit(0),
+    )
     pruned = (
         pairs.join(
-            lens.select(F.col("ref").alias("ref_a"), F.col("_l").alias("_la")), "ref_a"
+            lens.select(
+                F.col("ref").alias("ref_a"),
+                F.col("_lmin").alias("_lmin_a"),
+                F.col("_lmax").alias("_lmax_a"),
+            ),
+            "ref_a",
         )
         .join(
-            lens.select(F.col("ref").alias("ref_b"), F.col("_l").alias("_lb")), "ref_b"
+            lens.select(
+                F.col("ref").alias("ref_b"),
+                F.col("_lmin").alias("_lmin_b"),
+                F.col("_lmax").alias("_lmax_b"),
+            ),
+            "ref_b",
         )
-        .where(F.abs(F.col("_la") - F.col("_lb")) <= F.lit(int(max_dist)))
-        .drop("_la", "_lb")
+        .where(gap <= F.lit(int(max_dist)))
+        .drop("_lmin_a", "_lmax_a", "_lmin_b", "_lmax_b")
     )
     out = (
         pruned.join(
@@ -182,6 +203,7 @@ def with_edit_distance(
         .join(
             texts.select(F.col("ref").alias("ref_b"), F.col("_t").alias("_tb")), "ref_b"
         )
+        .where(F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(int(max_dist)))
         .withColumn(
             "edit_dist", F.levenshtein(F.col("_ta"), F.col("_tb"), int(max_dist))
         )

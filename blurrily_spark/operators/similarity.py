@@ -54,16 +54,29 @@ def _py_l2_norm(vec) -> float:
     return math.sqrt(acc)
 
 
+def _dlit(x) -> str:
+    """SQL text of one exact double literal. ``repr(float)`` round-trips
+    finite doubles exactly and SQL decimal/scientific literals cast to the
+    nearest double, so the value is bit-identical to ``F.lit(float(x))``;
+    non-finite values (possible in dirty embeddings picked up as centroid
+    seeds) take the string-cast spelling instead of generating an
+    unparseable bare ``nan``/``inf`` token."""
+    import math
+
+    v = float(x)
+    if math.isfinite(v):
+        return f"CAST({v!r} AS DOUBLE)"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+
+
 def _lit_vec(vec):
     """Literal ``array<double>`` built in ONE ``F.expr`` py4j call instead
     of one ``F.lit`` round-trip per element (a 64-dim codebook of 16
-    centroids otherwise costs ~1000 driver round-trips per operator call).
-    ``repr(float)`` round-trips doubles exactly and SQL decimal/scientific
-    literals cast to the nearest double, so every element is bit-identical
-    to ``F.lit(float(x))``."""
-    return F.expr(
-        "array(%s)" % ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
-    )
+    centroids otherwise costs ~1000 driver round-trips per operator call);
+    element-exact per :func:`_dlit`."""
+    return F.expr("array(%s)" % ", ".join(_dlit(x) for x in vec))
 
 
 def _dot_sql(col_name: str, vec) -> str:
@@ -72,7 +85,7 @@ def _dot_sql(col_name: str, vec) -> str:
     init, left-to-right accumulation), emitted as a string so an unrolled
     k-centroid score array costs ONE py4j call instead of ~10 per
     centroid."""
-    arr = "array(%s)" % ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
+    arr = "array(%s)" % ", ".join(_dlit(x) for x in vec)
     return (
         f"aggregate(zip_with(`{col_name}`, {arr}, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -83,7 +96,7 @@ def _dot_sql(col_name: str, vec) -> str:
 def _lit_mat(vecs):
     """Literal ``array<array<double>>`` in one py4j call (see _lit_vec)."""
     inner = ", ".join(
-        "array(%s)" % ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in v)
+        "array(%s)" % ", ".join(_dlit(x) for x in v)
         for v in vecs
     )
     return F.expr(f"array({inner})")
@@ -166,15 +179,18 @@ def assign_buckets(
     scores = F.expr(
         "array(%s)"
         % ", ".join(
-            f"{_dot_sql('_v', c)} / (_nv * CAST({_py_l2_norm(c)!r} AS DOUBLE))"
+            f"{_dot_sql('_v', c)} / (_nv * {_dlit(_py_l2_norm(c))})"
             for c in centroids
         )
     )
     bucket = F.array_position(scores, F.array_max(scores)) - 1
+    # the staged row norm rides along as _n so consumers scoring pairs
+    # (semantic_dedup) or probes (ivf_topk) need not re-fold it per row
     return pre.select(
         "vec_id",
         "_v",
         bucket.cast("int").alias("bucket"),
+        F.col("_nv").alias("_n"),
     )
 
 
@@ -199,9 +215,7 @@ def ivf_topk(
     """
     from blurrily_spark.config import spread_small_input
 
-    bucketed = assign_buckets(
-        spread_small_input(corpus), centroids, id_col, vec_col
-    ).select("vec_id", "_v", "bucket", l2_norm(F.col("_v")).alias("_n"))
+    bucketed = assign_buckets(spread_small_input(corpus), centroids, id_col, vec_col)
 
     cents = _lit_mat(centroids)
     qscores = F.transform(cents, lambda c: cosine(F.col("_qv"), c))
@@ -694,8 +708,9 @@ def semantic_dedup(
     # Row norms materialized BELOW the pair join (bit-identical cosine, see
     # _cos_pre): the within-cluster join scores ~|cluster|^2 pairs, so
     # computing each norm once per row instead of once per pair removes
-    # ~2/3 of the fold work in the dominant stage.
-    withn = assigned.select("vec_id", "_v", "bucket", l2_norm(F.col("_v")).alias("_n"))
+    # ~2/3 of the fold work in the dominant stage; assign_buckets already
+    # staged the norm as _n.
+    withn = assigned.select("vec_id", "_v", "bucket", "_n")
     a = withn.select(
         F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
         F.col("_n").alias("_na"), "bucket",

@@ -1,12 +1,15 @@
 """Capture .explain("formatted") for the bench-relevant query plans.
 
 Usage: python scripts/capture_plans.py <outdir> <suffix>
-  e.g.  PYTHONPATH=/tmp/r5base python scripts/capture_plans.py plans/r06 before
-        PYTHONPATH=/root/repo  python scripts/capture_plans.py plans/r06 after
+  e.g.  ENGINE_ROOT=/tmp/r5base python scripts/capture_plans.py plans/r06 before
+        ENGINE_ROOT=/root/repo  python scripts/capture_plans.py plans/r06 after
 
-Each capturable query writes <outdir>/<name>_<suffix>.txt. Queries whose
-operator is eager (connected-components loops) capture the dominant lazy
-subplan instead, noted in the file header.
+ENGINE_ROOT (not PYTHONPATH -- the sys.path.insert below takes
+precedence over it) selects which engine tree is imported; it defaults
+to this script's repo. Each capturable query writes
+<outdir>/<name>_<suffix>.txt. Queries whose operator is eager
+(connected-components loops, checkpointing operators) capture the
+dominant lazy subplan instead, noted inline.
 """
 
 from __future__ import annotations

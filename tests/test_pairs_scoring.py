@@ -774,6 +774,29 @@ def test_with_edit_distance_threshold_and_length_prefilter(spark):
         with_edit_distance(pairs, recs, max_dist=-1)
 
 
+def test_with_edit_distance_duplicate_ref_multiplicity(spark):
+    """The length-first prune must not change output multiplicity when
+    ``records`` carries duplicate refs: the prune joins a per-ref
+    AGGREGATED (min_len, max_len) table -- one row per ref -- and only the
+    text joins (same as the unbounded path) multiply rows."""
+    from blurrily_spark.operators.scoring import with_edit_distance
+
+    recs = spark.createDataFrame(
+        [(7, "kitten"), (7, "kitten"), (8, "sitting"), (9, "a" * 60)],
+        "ref long, norm string",
+    )
+    pairs = spark.createDataFrame([(7, 8), (7, 9)], "ref_a long, ref_b long")
+    unbounded = with_edit_distance(pairs, recs).where("edit_dist <= 3").collect()
+    bounded = with_edit_distance(pairs, recs, max_dist=3).collect()
+    key = lambda r: (r["ref_a"], r["ref_b"], r["edit_dist"])
+    # (7,8) appears twice in both paths (two copies of ref 7); (7,9) dies
+    # in the length prune / threshold in both
+    assert sorted(map(key, bounded)) == sorted(map(key, unbounded)) == [
+        (7, 8, 3),
+        (7, 8, 3),
+    ]
+
+
 def test_with_edit_distance_bounded_equals_unbounded_within_k(spark):
     # the thresholded DP must agree with full levenshtein on every pair it
     # keeps, over real candidate pairs
